@@ -1,0 +1,37 @@
+"""TPU-native compute kernels (the reference's four CUDA extensions, rebuilt)."""
+
+from .activation import trunc_exp
+from .freq_encode import freq_encode, freq_output_dim
+from .grid_encode import GridSpec, grid_encode, grid_encode01, grid_total_variation
+from .marching import (
+    MarchConfig,
+    compact_samples,
+    composite_rays,
+    march_rays,
+    occupancy_lookup,
+)
+from .morton import morton3d, morton3d_invert, morton_dilate, packbits
+from .ray_aabb import near_far_from_aabb
+from .sh_encode import sh_encode, sh_output_dim
+
+__all__ = [
+    "trunc_exp",
+    "freq_encode",
+    "freq_output_dim",
+    "GridSpec",
+    "grid_encode",
+    "grid_encode01",
+    "grid_total_variation",
+    "MarchConfig",
+    "compact_samples",
+    "composite_rays",
+    "march_rays",
+    "occupancy_lookup",
+    "morton3d",
+    "morton3d_invert",
+    "morton_dilate",
+    "packbits",
+    "near_far_from_aabb",
+    "sh_encode",
+    "sh_output_dim",
+]

@@ -1,0 +1,238 @@
+"""Multiresolution tiled/hash grid encoding (Instant-NGP style), TPU-native.
+
+Replaces the reference CUDA extension ``gridencoder`` (see reference
+gridencoder/src/gridencoder.cu:87-244 ``kernel_grid`` and
+gridencoder/grid.py:96-185 ``GridEncoder``) with a pure-JAX implementation:
+the per-(point, level) corner gathers lower to XLA gathers, and the backward
+scatter-add to embeddings / analytic input Jacobian both fall out of autodiff
+(``floor`` has zero gradient, so d(frac)/d(input) == scale exactly like the
+hand-written dy_dx in gridencoder.cu:198-243).
+
+Level geometry matches the reference bit-for-bit:
+- offsets table: per level ``resolution_i = ceil(base * pls**i)``,
+  ``params = min(2**log2_hashmap_size, (res+1)**D)`` rounded up to a multiple
+  of 8 (grid.py:117-131; align_corners=False is the only mode used).
+- runtime scale: ``scale = exp2(level*S)*H - 1``, ``resolution =
+  ceil(scale)+1`` (gridencoder.cu:138-139).
+- index: row-major strided while ``stride <= hashmap_size`` with uint32
+  wraparound; spatial hash (XOR of prime multiples, gridencoder.cu:50-63)
+  only when gridtype=='hash' and the level overflows; final
+  ``index % hashmap_size`` (gridencoder.cu:66-84).
+- out-of-bounds inputs (outside [0,1]) encode to zeros
+  (gridencoder.cu:110-135).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PRIMES = (1, 2654435761, 805459861, 3674653429, 2097192037, 1434869437, 2165219737)
+_U32 = 1 << 32
+
+
+@dataclasses.dataclass(frozen=True)
+class GridSpec:
+    """Static description of one multiresolution grid encoder."""
+
+    input_dim: int = 3
+    num_levels: int = 16
+    level_dim: int = 2
+    base_resolution: int = 16
+    log2_hashmap_size: int = 16
+    per_level_scale: float = 2.0
+    gridtype: str = "tiled"  # 'tiled' | 'hash'
+    interpolation: str = "linear"  # 'linear' | 'smoothstep'
+    align_corners: bool = False
+
+    @staticmethod
+    def create(
+        input_dim: int = 3,
+        num_levels: int = 16,
+        level_dim: int = 2,
+        base_resolution: int = 16,
+        log2_hashmap_size: int = 16,
+        desired_resolution: float | None = None,
+        per_level_scale: float = 2.0,
+        gridtype: str = "tiled",
+        interpolation: str = "linear",
+        align_corners: bool = False,
+    ) -> "GridSpec":
+        # desired_resolution overrides per_level_scale (grid.py:101-102)
+        if desired_resolution is not None:
+            per_level_scale = float(
+                np.exp2(np.log2(desired_resolution / base_resolution) / (num_levels - 1))
+            )
+        return GridSpec(
+            input_dim=input_dim,
+            num_levels=num_levels,
+            level_dim=level_dim,
+            base_resolution=base_resolution,
+            log2_hashmap_size=log2_hashmap_size,
+            per_level_scale=per_level_scale,
+            gridtype=gridtype,
+            interpolation=interpolation,
+            align_corners=align_corners,
+        )
+
+    @property
+    def max_params(self) -> int:
+        return 1 << self.log2_hashmap_size
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_levels * self.level_dim
+
+    @property
+    def offsets(self) -> tuple[int, ...]:
+        """Per-level start offsets into the flat parameter table (grid.py:117-127)."""
+        offs = []
+        offset = 0
+        for i in range(self.num_levels):
+            resolution = int(np.ceil(self.base_resolution * self.per_level_scale**i))
+            n = resolution if self.align_corners else resolution + 1
+            params_in_level = min(self.max_params, n**self.input_dim)
+            params_in_level = int(np.ceil(params_in_level / 8) * 8)
+            offs.append(offset)
+            offset += params_in_level
+        offs.append(offset)
+        return tuple(offs)
+
+    @property
+    def n_embeddings(self) -> int:
+        return self.offsets[-1]
+
+    def level_scale(self, level: int) -> float:
+        """Runtime grid scale for a level (gridencoder.cu:138).
+
+        Computed with the same fp32 arithmetic chain as the CUDA kernel
+        (``exp2f(level * S) * H - 1.0f``) so sample positions match the
+        reference bit-for-bit at high levels.
+        """
+        s = np.float32(math.log2(self.per_level_scale))
+        return float(
+            np.exp2(np.float32(level) * s) * np.float32(self.base_resolution)
+            - np.float32(1.0)
+        )
+
+    def level_resolution(self, level: int) -> int:
+        """Runtime grid resolution for a level (gridencoder.cu:139)."""
+        return int(np.ceil(self.level_scale(level))) + 1
+
+    def init(self, key: jax.Array, dtype=jnp.float32) -> jax.Array:
+        """U(-1e-4, 1e-4) init as in grid.py:138-140."""
+        return jax.random.uniform(
+            key, (self.n_embeddings, self.level_dim), dtype=dtype, minval=-1e-4, maxval=1e-4
+        )
+
+
+def _corner_index(spec: GridSpec, level: int, corner_grid: jax.Array) -> jax.Array:
+    """uint32 parameter index for integer corner coords [B, D].
+
+    Mirrors get_grid_index (gridencoder.cu:66-84) with explicit uint32
+    wraparound of the stride accumulator.
+    """
+    offs = spec.offsets
+    hashmap_size = offs[level + 1] - offs[level]
+    resolution = spec.level_resolution(level)
+    n = resolution if spec.align_corners else resolution + 1
+
+    index = jnp.zeros(corner_grid.shape[:-1], dtype=jnp.uint32)
+    stride = 1  # python int tracking uint32 value
+    for d in range(spec.input_dim):
+        if stride <= hashmap_size:
+            index = index + corner_grid[..., d] * jnp.uint32(stride)
+        stride = (stride * n) % _U32
+
+    if spec.gridtype == "hash" and stride > hashmap_size:
+        index = jnp.zeros(corner_grid.shape[:-1], dtype=jnp.uint32)
+        for d in range(spec.input_dim):
+            index = index ^ (corner_grid[..., d] * jnp.uint32(_PRIMES[d] % _U32))
+
+    return index % jnp.uint32(hashmap_size)
+
+
+def grid_encode01(inputs01: jax.Array, embeddings: jax.Array, spec: GridSpec) -> jax.Array:
+    """Encode points already normalized to [0, 1].
+
+    Args:
+      inputs01: [..., D] float32 in [0, 1] (out-of-range rows encode to 0).
+      embeddings: [n_embeddings, C] parameter table.
+      spec: static grid description.
+
+    Returns:
+      [..., L*C] features, ordered [level0 ch0, level0 ch1, level1 ch0, ...]
+      (matches the reference's ``[B, L*C]`` layout after its L-first permute,
+      grid.py:57).
+    """
+    if inputs01.shape[-1] != spec.input_dim:
+        raise ValueError(f"expected last dim {spec.input_dim}, got {inputs01.shape}")
+    D = spec.input_dim
+    x = inputs01.astype(jnp.float32)
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1, keepdims=True)
+
+    level_outputs = []
+    for level in range(spec.num_levels):
+        scale = spec.level_scale(level)
+        shift = 0.0 if spec.align_corners else 0.5
+        pos = x * scale + shift
+        pos_grid = jnp.floor(pos)
+        frac = pos - jax.lax.stop_gradient(pos_grid)
+        if spec.interpolation == "smoothstep":
+            frac = frac * frac * (3.0 - 2.0 * frac)
+        pg = jax.lax.stop_gradient(pos_grid).astype(jnp.uint32)
+
+        out = None
+        for corner in range(1 << D):
+            bits = [(corner >> d) & 1 for d in range(D)]
+            w = jnp.ones(x.shape[:-1], dtype=jnp.float32)
+            for d, bit in enumerate(bits):
+                w = w * (frac[..., d] if bit else (1.0 - frac[..., d]))
+            cg = pg + jnp.asarray(bits, dtype=jnp.uint32)
+            idx = _corner_index(spec, level, cg) + jnp.uint32(spec.offsets[level])
+            emb = jnp.take(embeddings, idx.astype(jnp.int32), axis=0)
+            contrib = w[..., None] * emb
+            out = contrib if out is None else out + contrib
+        level_outputs.append(jnp.where(oob, 0.0, out))
+
+    return jnp.concatenate(level_outputs, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("spec", "bound"))
+def grid_encode(
+    inputs: jax.Array, embeddings: jax.Array, spec: GridSpec, bound: float = 1.0
+) -> jax.Array:
+    """Encode points in [-bound, bound] (GridEncoder.forward, grid.py:145-161)."""
+    x01 = (inputs + bound) / (2.0 * bound)
+    return grid_encode01(x01, embeddings, spec)
+
+
+def grid_total_variation(
+    inputs01: jax.Array, embeddings: jax.Array, spec: GridSpec, weight: float = 1e-7
+) -> jax.Array:
+    """Total-variation regularizer gradient surrogate.
+
+    The reference exposes grad_total_variation (gridencoder.cu:505-644) which
+    adds a TV penalty gradient directly into embeddings.grad; it is unused by
+    the training loop. Here we provide the scalar TV loss at sampled points so
+    it can simply be added to the training loss under autodiff.
+    """
+    D = spec.input_dim
+    total = 0.0
+    for level in range(spec.num_levels):
+        scale = spec.level_scale(level)
+        shift = 0.0 if spec.align_corners else 0.5
+        pos = jnp.floor(inputs01 * scale + shift).astype(jnp.uint32)
+        base_idx = _corner_index(spec, level, pos) + jnp.uint32(spec.offsets[level])
+        base = jnp.take(embeddings, base_idx.astype(jnp.int32), axis=0)
+        for d in range(D):
+            nb = pos.at[..., d].add(jnp.uint32(1))
+            nb_idx = _corner_index(spec, level, nb) + jnp.uint32(spec.offsets[level])
+            nbv = jnp.take(embeddings, nb_idx.astype(jnp.int32), axis=0)
+            total = total + jnp.sum((nbv - base) ** 2)
+    return weight * total

@@ -1,0 +1,293 @@
+"""Occupancy-grid ray marching + volume compositing, TPU-native.
+
+Replaces the reference CUDA marcher/compositor family (reference
+raymarching/src/raymarching.cu): kernel_march_rays_train (:352-528),
+kernel_march_rays (:827-939), kernel_composite_rays_train_forward/backward
+(:603-820), kernel_composite_rays (:942-1038), and the Python alive-ray
+compaction loop (reference nerf/renderer.py:239-262).
+
+Design (why this is NOT a port)
+-------------------------------
+The CUDA marcher is a per-ray sequential walk: advance
+``t += clamp(t*dt_gamma, dt_min, dt_max)`` through occupied voxels, DDA-skip
+through empty ones, early-terminate on transmittance. The key observation
+that makes a fully parallel TPU formulation possible: *the t-advance
+recurrence is the same for occupied and empty steps*, and the DDA skip's
+do-while sub-steps (raymarching.cu:437-439) follow that same recurrence — so
+the set of t values a ray can ever visit is a single occupancy-independent
+orbit ``t_{k+1} = t_k + clamp(t_k * dt_gamma, dt_min, dt_max)`` from
+``t_0 = near (+ perturbation)``. The reference's emitted samples are exactly
+the first ``max_steps`` *occupied* points of that orbit (empty-voxel points
+are skipped without being emitted; points the DDA jumps over lie in the same
+empty voxel and would not be emitted either).
+
+So the TPU marcher is three dense, static-shape steps:
+  1. compute the orbit ``ts[N, K]`` (closed form when dt is pinned, scan
+     otherwise),
+  2. gather occupancy bits for all N*K points at once,
+  3. rank occupied points per ray with a cumsum and scatter the first S
+     into a fixed ``[N, S]`` sample lattice.
+
+Compositing is then a masked cumprod over the lattice — the training and
+inference compositors collapse into one function (they compute the same
+math; the reference only split them to manage the CUDA alive-list).
+Early termination (``T < T_thresh``) becomes a mask. Gradients for
+sigma/rgb/ambient fall out of autodiff of this closed-form expression and
+match the hand-derived backward in raymarching.cu:711-809 (grad_depth is not
+used by any reference loss; here it simply also exists).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+
+from .morton import morton3d
+
+SQRT3 = 1.7320508075688772
+
+
+@dataclasses.dataclass(frozen=True)
+class MarchConfig:
+    """Static marching configuration (mirrors reference renderer/bitfield state).
+
+    Attributes:
+      bound: scene half-extent; grid/hash always cubic (renderer.py:84-89).
+      cascade: number of mip levels = 1 + ceil(log2(bound)) (renderer.py:69).
+      grid_size: H, occupancy grid resolution per cascade (128).
+      max_steps: S, max emitted samples per ray (main.py:28 default 16).
+      dt_gamma: cone-angle-style step growth (main.py:55 default 1/256).
+      march_iters: K, orbit length. None -> safe bound ceil(2*sqrt(3)*bound /
+        dt_min)+1 (every orbit step advances >= dt_min and a ray's AABB span
+        is <= the box diagonal).
+    """
+
+    bound: float = 1.0
+    cascade: int = 1
+    grid_size: int = 128
+    max_steps: int = 16
+    dt_gamma: float = 0.0
+    march_iters: int | None = None
+
+    @property
+    def dt_max(self) -> float:
+        return 2.0 * SQRT3 * (1 << (self.cascade - 1)) / self.grid_size
+
+    @property
+    def dt_min(self) -> float:
+        return min(self.dt_max, 2.0 * SQRT3 / self.max_steps)
+
+    @property
+    def n_march_iters(self) -> int:
+        if self.march_iters is not None:
+            return self.march_iters
+        return int(math.ceil(2.0 * SQRT3 * self.bound / self.dt_min)) + 1
+
+
+def _clamp_dt(t: jnp.ndarray, cfg: MarchConfig) -> jnp.ndarray:
+    return jnp.clip(t * cfg.dt_gamma, cfg.dt_min, cfg.dt_max)
+
+
+def _orbit(t0: jnp.ndarray, cfg: MarchConfig):
+    """Visited t-sequence [N, K] and its step sizes [N, K] from t0 [N]."""
+    K = cfg.n_march_iters
+    if cfg.dt_gamma == 0.0:
+        # dt == dt_min everywhere: closed form, no scan.
+        k = jnp.arange(K, dtype=jnp.float32)
+        ts = t0[:, None] + k[None, :] * cfg.dt_min
+        dts = jnp.full_like(ts, cfg.dt_min)
+        return ts, dts
+
+    def step(t, _):
+        dt = _clamp_dt(t, cfg)
+        return t + dt, (t, dt)
+
+    _, (ts, dts) = jax.lax.scan(step, t0, None, length=K)
+    return ts.T, dts.T  # [N, K]
+
+
+def _mip_level(x: jnp.ndarray, dt: jnp.ndarray, cfg: MarchConfig) -> jnp.ndarray:
+    """Cascade level per point: max(mip_from_pos, mip_from_dt)
+    (raymarching.cu:42-54). Level e satisfies mx in [2^(e-1), 2^e)."""
+    C = cfg.cascade
+
+    def frexp_exponent(v):
+        # frexp: v = m * 2^e with m in [0.5, 1)  =>  e = floor(log2(v)) + 1
+        e = jnp.floor(jnp.log2(jnp.maximum(v, 1e-30))).astype(jnp.int32) + 1
+        return jnp.where(v > 0, e, 0)
+
+    mx = jnp.max(jnp.abs(x), axis=-1)
+    level = jnp.maximum(frexp_exponent(mx), frexp_exponent(dt * cfg.grid_size * 0.5))
+    return jnp.clip(level, 0, C - 1)
+
+
+def occupancy_lookup(
+    xyz: jnp.ndarray, dt: jnp.ndarray, bitfield: jnp.ndarray, cfg: MarchConfig
+) -> jnp.ndarray:
+    """Test the density bitfield at points xyz [..., 3] with step sizes dt [...].
+
+    bitfield: uint8 [cascade * H^3 // 8], bit k of byte b = Morton cell b*8+k
+    (as produced by ops.morton.packbits).
+    """
+    H = cfg.grid_size
+    if cfg.cascade == 1:
+        level = jnp.zeros(xyz.shape[:-1], jnp.int32)
+        mip_bound = jnp.float32(min(1.0, cfg.bound))
+    else:
+        level = _mip_level(xyz, dt, cfg)
+        mip_bound = jnp.minimum(jnp.exp2(level.astype(jnp.float32)), cfg.bound)
+
+    nxyz = jnp.clip(
+        jnp.floor(0.5 * (xyz / mip_bound[..., None] + 1.0) * H), 0.0, H - 1
+    ).astype(jnp.int32)
+    index = level * (H * H * H) + morton3d(nxyz)
+    byte = jnp.take(bitfield, index >> 3, axis=0)
+    return ((byte >> (index & 7).astype(jnp.uint8)) & 1).astype(jnp.bool_)
+
+
+def march_rays(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    nears: jnp.ndarray,
+    fars: jnp.ndarray,
+    bitfield: jnp.ndarray,
+    cfg: MarchConfig,
+    noises: jnp.ndarray | None = None,
+):
+    """Fixed-lattice batched marcher.
+
+    Args:
+      rays_o, rays_d: [N, 3] float32 (dirs normalized).
+      nears, fars: [N] from near_far_from_aabb.
+      bitfield: uint8 [cascade*H^3//8] occupancy bits.
+      cfg: static MarchConfig.
+      noises: optional [N] U[0,1) perturbation (reference
+        raymarching.py:239-242; t0 += dt(t0) * noise).
+
+    Returns dict with static shapes (S = cfg.max_steps):
+      t:     [N, S] sample distance (0 where invalid).
+      dt:    [N, S] step size (0 where invalid).
+      valid: [N, S] bool sample mask.
+      xyz:   [N, S, 3] sample positions, clamped to [-bound, bound].
+    """
+    N = rays_o.shape[0]
+    S = cfg.max_steps
+
+    t0 = nears
+    if noises is not None:
+        t0 = t0 + _clamp_dt(t0, cfg) * noises
+
+    ts, dts = _orbit(t0, cfg)  # [N, K]
+    xyz = jnp.clip(
+        rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :], -cfg.bound, cfg.bound
+    )
+    occ = occupancy_lookup(xyz, dts, bitfield, cfg)
+    occ = occ & (ts < fars[:, None])
+
+    # rank occupied orbit points; keep the first S per ray
+    rank = jnp.cumsum(occ.astype(jnp.int32), axis=1)
+    keep = occ & (rank <= S)
+    slot = jnp.where(keep, rank - 1, S)  # S = out of range -> dropped
+    rows = jnp.broadcast_to(jnp.arange(N)[:, None], slot.shape)
+
+    t_out = jnp.zeros((N, S), jnp.float32).at[rows, slot].set(ts, mode="drop")
+    dt_out = jnp.zeros((N, S), jnp.float32).at[rows, slot].set(dts, mode="drop")
+    valid = jnp.zeros((N, S), jnp.bool_).at[rows, slot].set(keep, mode="drop")
+
+    xyz_out = jnp.clip(
+        rays_o[:, None, :] + t_out[..., None] * rays_d[:, None, :], -cfg.bound, cfg.bound
+    )
+    xyz_out = jnp.where(valid[..., None], xyz_out, 0.0)
+    return {"t": t_out, "dt": dt_out, "valid": valid, "xyz": xyz_out}
+
+
+def composite_rays(
+    sigmas: jnp.ndarray,
+    rgbs: jnp.ndarray,
+    dts: jnp.ndarray,
+    ts: jnp.ndarray,
+    valid: jnp.ndarray,
+    ambient: jnp.ndarray | None = None,
+    T_thresh: float = 1e-4,
+):
+    """Alpha-composite a [N, S] sample lattice (train & inference unified).
+
+    Args:
+      sigmas: [N, S] densities.
+      rgbs: [N, S, 3] colors.
+      dts: [N, S] step sizes (0 -> no-op slot).
+      ts: [N, S] sample distances; depth accumulates t + dt, matching
+        deltas[1] = "t after advance" in raymarching.cu:499-500.
+      valid: [N, S] sample mask.
+      ambient: optional [N, S] per-sample |ambient| sums; accumulated
+        *unweighted* over processed steps (raymarching.cu:660).
+      T_thresh: early-termination transmittance; steps after T drops below
+        are excluded, the crossing step included (raymarching.cu:662-665).
+
+    Returns dict: image [N,3] (premultiplied, no background), depth [N],
+      weights_sum [N], ambient_sum [N] (zeros if ambient is None).
+    """
+    sigmas = jnp.where(valid, sigmas, 0.0)
+    alpha = 1.0 - jnp.exp(-sigmas * dts)
+    one_minus = 1.0 - alpha
+    T_incl = jnp.cumprod(one_minus, axis=-1)  # T after step i
+    # exclusive cumprod via shift (T before step i; robust when alpha == 1)
+    T_excl = jnp.concatenate(
+        [jnp.ones_like(T_incl[..., :1]), T_incl[..., :-1]], axis=-1
+    )
+
+    processed = jnp.concatenate(
+        [jnp.ones_like(T_incl[..., :1], jnp.bool_), T_incl[..., :-1] >= T_thresh],
+        axis=-1,
+    )
+    weight = alpha * T_excl * processed
+
+    weights_sum = jnp.sum(weight, axis=-1)
+    depth = jnp.sum(weight * (ts + dts), axis=-1)
+    image = jnp.sum(weight[..., None] * rgbs, axis=-2)
+    if ambient is not None:
+        ambient_sum = jnp.sum(
+            jnp.where(processed & valid, ambient, 0.0), axis=-1
+        )
+    else:
+        ambient_sum = jnp.zeros_like(weights_sum)
+    return {
+        "image": image,
+        "depth": depth,
+        "weights_sum": weights_sum,
+        "ambient_sum": ambient_sum,
+    }
+
+
+def compact_samples(valid: jnp.ndarray, capacity: int):
+    """Prefix-sum compaction of a [N, S] sample mask into a flat buffer.
+
+    The TPU analogue of the reference's atomic-counter slot reservation
+    (raymarching.cu:446) + mean_count buffer sizing (raymarching.py:224-229):
+    field evaluation runs on a fixed-size [capacity] point buffer instead of
+    the full dense lattice. Samples beyond capacity are dropped, mirroring
+    the reference's behavior when mean_count underestimates.
+
+    Returns:
+      gather_idx: [capacity] flat indices into the [N*S] lattice (0-padded).
+      gather_ok:  [capacity] bool, False for padding.
+      scatter_pos: [N, S] position of each lattice sample in the buffer
+        (== capacity for dropped/invalid -> use mode='drop').
+      n_valid: [] int32 total valid count (pre-drop), for stats.
+    """
+    N, S = valid.shape
+    flat = valid.reshape(-1)
+    pos = jnp.cumsum(flat.astype(jnp.int32)) - 1  # position if valid
+    ok = flat & (pos < capacity)
+    scatter_pos = jnp.where(ok, pos, capacity).reshape(N, S)
+
+    gather_idx = jnp.zeros((capacity,), jnp.int32).at[
+        jnp.where(ok, pos, capacity)
+    ].set(jnp.arange(N * S, dtype=jnp.int32), mode="drop")
+    gather_ok = jnp.zeros((capacity,), jnp.bool_).at[
+        jnp.where(ok, pos, capacity)
+    ].set(True, mode="drop")
+    return gather_idx, gather_ok, scatter_pos, jnp.sum(flat.astype(jnp.int32))

@@ -1,0 +1,347 @@
+"""Unit tests for radnerf_tpu.ops against literal numpy oracles of the
+reference CUDA kernels (see tests/reference_impl.py)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radnerf_tpu.ops import (
+    GridSpec,
+    MarchConfig,
+    compact_samples,
+    composite_rays,
+    freq_encode,
+    grid_encode,
+    grid_encode01,
+    march_rays,
+    morton3d,
+    morton3d_invert,
+    morton_dilate,
+    near_far_from_aabb,
+    packbits,
+    sh_encode,
+    trunc_exp,
+)
+
+from reference_impl import (
+    ref_composite_ray,
+    ref_grid_encode,
+    ref_march_ray,
+    _morton3d as np_morton3d,
+)
+
+
+# ------------------------------------------------------------------ encoders
+@pytest.mark.parametrize("gridtype", ["tiled", "hash"])
+@pytest.mark.parametrize("input_dim", [2, 3])
+def test_grid_encode_matches_reference(gridtype, input_dim):
+    spec = GridSpec.create(
+        input_dim=input_dim,
+        num_levels=16,
+        level_dim=2,
+        base_resolution=16,
+        log2_hashmap_size=16,
+        desired_resolution=2048,
+        gridtype=gridtype,
+    )
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(spec.n_embeddings, spec.level_dim)).astype(np.float32)
+    x = rng.uniform(0.0, 1.0, size=(64, input_dim)).astype(np.float32)
+    # include boundary + OOB rows
+    x[0] = 0.0
+    x[1] = 1.0
+    x[2, 0] = 1.5  # OOB -> zeros
+
+    got = np.asarray(grid_encode01(jnp.asarray(x), jnp.asarray(emb), spec))
+    want = ref_grid_encode(x.astype(np.float64), emb.astype(np.float64), spec)
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-5)
+    assert np.all(got[2] == 0.0)
+
+
+def test_grid_encode_offsets_match_reference_table():
+    # the exact offsets table the reference computes for its 3-D head encoder
+    # (grid.py:127 comment)
+    spec = GridSpec.create(
+        input_dim=3, num_levels=16, level_dim=2, base_resolution=16,
+        log2_hashmap_size=16, desired_resolution=2048,
+    )
+    assert spec.offsets == (
+        0, 4920, 18744, 51512, 117048, 182584, 248120, 313656, 379192,
+        444728, 510264, 575800, 641336, 706872, 772408, 837944, 903480,
+    )
+    spec2d = GridSpec.create(
+        input_dim=2, num_levels=16, level_dim=2, base_resolution=16,
+        log2_hashmap_size=16, desired_resolution=2048,
+    )
+    assert spec2d.n_embeddings == 555520  # torso encoder table size
+
+
+def test_grid_encode_grads():
+    spec = GridSpec.create(input_dim=3, num_levels=4, level_dim=2,
+                           base_resolution=4, log2_hashmap_size=8,
+                           desired_resolution=32, gridtype="hash")
+    key = jax.random.PRNGKey(0)
+    emb = spec.init(key)
+    x = jax.random.uniform(key, (32, 3), minval=-1.0, maxval=1.0)
+
+    def loss(e, pts):
+        return jnp.sum(grid_encode(pts, e, spec, bound=1.0) ** 2)
+
+    g_emb = jax.grad(loss)(emb, x)
+    assert g_emb.shape == emb.shape
+    assert bool(jnp.any(g_emb != 0))
+
+    # input gradient == analytic dy_dx contraction: check vs finite differences
+    def loss_x(pts):
+        return jnp.sum(grid_encode(pts, emb, spec, bound=1.0))
+
+    g_x = jax.grad(loss_x)(x)
+    eps = 1e-3
+    for d in range(3):
+        xp = x.at[:, d].add(eps)
+        xm = x.at[:, d].add(-eps)
+        fd = (loss_x(xp) - loss_x(xm)) / (2 * eps)
+        # finite difference crosses cell boundaries for some points; compare
+        # loosely in aggregate
+        np.testing.assert_allclose(float(jnp.sum(g_x[:, d])), float(fd), rtol=0.2, atol=1e-2)
+
+
+def test_sh_encode_basic():
+    d = np.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.577, 0.577, 0.577]], np.float32)
+    out = np.asarray(sh_encode(jnp.asarray(d), degree=4))
+    assert out.shape == (3, 16)
+    np.testing.assert_allclose(out[:, 0], 0.28209479, rtol=1e-6)
+    np.testing.assert_allclose(out[0, 2], 0.48860251, rtol=1e-6)  # z term
+    np.testing.assert_allclose(out[1, 3], -0.48860251, rtol=1e-6)  # x term
+    # degree 8 full basis evaluates
+    out8 = sh_encode(jnp.asarray(d), degree=8)
+    assert out8.shape == (3, 64)
+
+
+def test_freq_encode_layout():
+    x = np.array([[0.3, -0.7]], np.float32)
+    deg = 3
+    out = np.asarray(freq_encode(jnp.asarray(x), deg))
+    assert out.shape == (1, 2 + 2 * 2 * deg)
+    np.testing.assert_allclose(out[0, :2], x[0], rtol=1e-6)
+    # block f: sin(2^f x), cos(2^f x)
+    for f in range(deg):
+        np.testing.assert_allclose(out[0, 2 + 4 * f : 4 + 4 * f], np.sin(2.0**f * x[0]), rtol=1e-5)
+        np.testing.assert_allclose(out[0, 4 + 4 * f : 6 + 4 * f], np.cos(2.0**f * x[0]), rtol=1e-5)
+
+
+def test_trunc_exp():
+    x = jnp.array([-20.0, 0.0, 5.0, 20.0])
+    np.testing.assert_allclose(np.asarray(trunc_exp(x)), np.exp(np.asarray(x)), rtol=1e-6)
+    g = jax.grad(lambda v: jnp.sum(trunc_exp(v)))(x)
+    np.testing.assert_allclose(
+        np.asarray(g), np.exp(np.clip(np.asarray(x), -15, 15)), rtol=1e-6
+    )
+
+
+# ----------------------------------------------------------- morton / packbits
+def test_morton_roundtrip():
+    rng = np.random.default_rng(1)
+    coords = rng.integers(0, 128, size=(256, 3)).astype(np.int32)
+    codes = np.asarray(morton3d(jnp.asarray(coords)))
+    want = np.array([np_morton3d(int(c[0]), int(c[1]), int(c[2])) for c in coords])
+    np.testing.assert_array_equal(codes, want)
+    back = np.asarray(morton3d_invert(jnp.asarray(codes)))
+    np.testing.assert_array_equal(back, coords)
+
+
+def test_packbits():
+    rng = np.random.default_rng(2)
+    grid = rng.normal(size=(1, 64)).astype(np.float32)
+    bf = np.asarray(packbits(jnp.asarray(grid), 0.0))
+    assert bf.shape == (8,)
+    for i in range(64):
+        assert bool(bf[i // 8] & (1 << (i % 8))) == bool(grid[0, i] > 0.0)
+
+
+def test_morton_dilate_matches_cross_neighborhood():
+    H = 8
+    rng = np.random.default_rng(3)
+    grid = rng.normal(size=(1, H**3)).astype(np.float32)
+    out = np.asarray(morton_dilate(jnp.asarray(grid), H))
+
+    # brute force oracle (raymarching.cu:303-341)
+    dense = np.zeros((H, H, H), np.float32)
+    for i in range(H**3):
+        c = np.asarray(morton3d_invert(jnp.asarray([i])))[0]
+        dense[c[0], c[1], c[2]] = grid[0, i]
+    for i in range(H**3):
+        c = np.asarray(morton3d_invert(jnp.asarray([i])))[0]
+        x, y, z = int(c[0]), int(c[1]), int(c[2])
+        res = dense[x, y, z]
+        for dx, dy, dz in [(1,0,0),(-1,0,0),(0,1,0),(0,-1,0),(0,0,1),(0,0,-1)]:
+            nx, ny, nz = x+dx, y+dy, z+dz
+            if 0 <= nx < H and 0 <= ny < H and 0 <= nz < H:
+                res = max(res, dense[nx, ny, nz])
+        assert out[0, i] == pytest.approx(res)
+
+
+# ------------------------------------------------------------------ ray/aabb
+def test_near_far_from_aabb():
+    aabb = jnp.array([-1.0, -0.5, -1.0, 1.0, 0.5, 1.0])
+    o = jnp.array([[0.0, 0.0, -4.0], [0.0, 5.0, -4.0]])
+    d = jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+    nears, fars = near_far_from_aabb(o, d, aabb, 0.05)
+    np.testing.assert_allclose(np.asarray(nears[0]), 3.0, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(fars[0]), 5.0, rtol=1e-6)
+    assert float(nears[1]) > 1e30  # miss
+
+    # near clamping
+    o2 = jnp.array([[0.0, 0.0, 0.0]])
+    nears2, fars2 = near_far_from_aabb(o2, d[:1], aabb, 0.05)
+    np.testing.assert_allclose(np.asarray(nears2[0]), 0.05, rtol=1e-6)
+
+
+# ------------------------------------------------------------------- marching
+def _random_scene(seed, cascade=1, H=32, occupied_frac=0.05):
+    rng = np.random.default_rng(seed)
+    n_cells = cascade * H**3
+    occ = (rng.uniform(size=n_cells) < occupied_frac).astype(np.uint8)
+    bitfield = np.zeros(n_cells // 8, np.uint8)
+    for i in range(n_cells):
+        if occ[i]:
+            bitfield[i // 8] |= 1 << (i % 8)
+    return bitfield
+
+
+@pytest.mark.parametrize("dt_gamma", [0.0, 1.0 / 256])
+def test_march_rays_matches_reference(dt_gamma):
+    H, cascade, bound, max_steps = 32, 1, 1.0, 16
+    bitfield = _random_scene(4, cascade, H, occupied_frac=0.08)
+    rng = np.random.default_rng(5)
+
+    N = 32
+    o = np.zeros((N, 3), np.float32)
+    o[:, 2] = -4.0
+    o[:, 0] = rng.uniform(-0.3, 0.3, N)
+    o[:, 1] = rng.uniform(-0.2, 0.2, N)
+    d = np.zeros((N, 3), np.float32)
+    d[:, 2] = 1.0
+    d[:, 0] = rng.uniform(-0.15, 0.15, N)
+    d[:, 1] = rng.uniform(-0.1, 0.1, N)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    aabb = jnp.array([-1.0, -0.5, -1.0, 1.0, 0.5, 1.0])
+    nears, fars = near_far_from_aabb(jnp.asarray(o), jnp.asarray(d), aabb, 0.05)
+
+    cfg = MarchConfig(bound=bound, cascade=cascade, grid_size=H,
+                      max_steps=max_steps, dt_gamma=dt_gamma)
+    out = march_rays(jnp.asarray(o), jnp.asarray(d), nears, fars,
+                     jnp.asarray(bitfield), cfg)
+
+    got_t = np.asarray(out["t"])
+    got_dt = np.asarray(out["dt"])
+    got_valid = np.asarray(out["valid"])
+    got_xyz = np.asarray(out["xyz"])
+
+    for n in range(N):
+        want = ref_march_ray(o[n], d[n], float(nears[n]), float(fars[n]),
+                             bitfield, bound, cascade, H, max_steps, dt_gamma)
+        n_want = len(want)
+        assert int(got_valid[n].sum()) == n_want, f"ray {n}: sample count"
+        for s, (wx, wy, wz, wdt, wt_after) in enumerate(want):
+            assert got_valid[n, s]
+            np.testing.assert_allclose(got_t[n, s] + got_dt[n, s], wt_after, rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(got_dt[n, s], wdt, rtol=1e-5)
+            np.testing.assert_allclose(got_xyz[n, s], [wx, wy, wz], rtol=1e-4, atol=1e-5)
+
+
+def test_march_rays_perturb_matches_reference():
+    H, cascade, bound, max_steps = 32, 1, 1.0, 16
+    bitfield = _random_scene(7, cascade, H, occupied_frac=0.2)
+    o = np.array([[0.1, 0.0, -4.0]], np.float32)
+    d = np.array([[0.02, 0.01, 1.0]], np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    aabb = jnp.array([-1.0, -0.5, -1.0, 1.0, 0.5, 1.0])
+    nears, fars = near_far_from_aabb(jnp.asarray(o), jnp.asarray(d), aabb, 0.05)
+    noise = np.array([0.37], np.float32)
+    cfg = MarchConfig(bound=bound, cascade=cascade, grid_size=H, max_steps=max_steps)
+    out = march_rays(jnp.asarray(o), jnp.asarray(d), nears, fars,
+                     jnp.asarray(bitfield), cfg, noises=jnp.asarray(noise))
+    want = ref_march_ray(o[0], d[0], float(nears[0]), float(fars[0]),
+                         bitfield, bound, cascade, H, max_steps, 0.0, noise=0.37)
+    assert int(np.asarray(out["valid"])[0].sum()) == len(want)
+
+
+def test_composite_matches_reference():
+    rng = np.random.default_rng(6)
+    N, S = 16, 16
+    n_steps = rng.integers(0, S + 1, N)
+    sigmas = np.zeros((N, S), np.float32)
+    rgbs = np.zeros((N, S, 3), np.float32)
+    amb = np.zeros((N, S), np.float32)
+    dts = np.zeros((N, S), np.float32)
+    ts = np.zeros((N, S), np.float32)
+    valid = np.zeros((N, S), bool)
+    for n in range(N):
+        k = n_steps[n]
+        valid[n, :k] = True
+        sigmas[n, :k] = rng.uniform(0, 60, k)  # large sigma -> exercise early term
+        rgbs[n, :k] = rng.uniform(0, 1, (k, 3))
+        amb[n, :k] = rng.uniform(0, 1, k)
+        dts[n, :k] = 0.2165
+        ts[n, :k] = 3.0 + 0.2165 * np.arange(k)
+
+    res = composite_rays(
+        jnp.asarray(sigmas), jnp.asarray(rgbs), jnp.asarray(dts),
+        jnp.asarray(ts), jnp.asarray(valid), ambient=jnp.asarray(amb),
+        T_thresh=1e-4,
+    )
+    for n in range(N):
+        k = int(n_steps[n])
+        want_rgb, want_d, want_ws, want_amb = ref_composite_ray(
+            sigmas[n, :k], rgbs[n, :k], amb[n, :k], dts[n, :k],
+            (ts + dts)[n, :k], T_thresh=1e-4,
+        )
+        np.testing.assert_allclose(np.asarray(res["image"])[n], want_rgb, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(float(res["depth"][n]), want_d, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(float(res["weights_sum"][n]), want_ws, rtol=1e-4, atol=1e-6)
+        np.testing.assert_allclose(float(res["ambient_sum"][n]), want_amb, rtol=1e-4, atol=1e-6)
+
+
+def test_composite_grads_flow():
+    N, S = 4, 8
+    key = jax.random.PRNGKey(0)
+    sigmas = jax.random.uniform(key, (N, S), minval=0.0, maxval=5.0)
+    rgbs = jax.random.uniform(key, (N, S, 3))
+    dts = jnp.full((N, S), 0.1)
+    ts = jnp.cumsum(dts, axis=-1)
+    valid = jnp.ones((N, S), bool)
+
+    def loss(s, r):
+        out = composite_rays(s, r, dts, ts, valid)
+        return jnp.sum(out["image"] ** 2) + jnp.sum(out["weights_sum"])
+
+    gs, gr = jax.grad(loss, argnums=(0, 1))(sigmas, rgbs)
+    assert bool(jnp.all(jnp.isfinite(gs))) and bool(jnp.all(jnp.isfinite(gr)))
+    assert bool(jnp.any(gs != 0)) and bool(jnp.any(gr != 0))
+
+
+def test_compact_samples_roundtrip():
+    rng = np.random.default_rng(8)
+    valid = rng.uniform(size=(16, 8)) < 0.3
+    cap = 64
+    gather_idx, gather_ok, scatter_pos, n_valid = compact_samples(jnp.asarray(valid), cap)
+    assert int(n_valid) == valid.sum()
+    vals = np.arange(16 * 8, dtype=np.float32).reshape(16, 8)
+    compacted = np.where(np.asarray(gather_ok), vals.reshape(-1)[np.asarray(gather_idx)], 0.0)
+    # scatter back
+    restored = np.zeros((16, 8), np.float32)
+    sp = np.asarray(scatter_pos)
+    for n in range(16):
+        for s in range(8):
+            if sp[n, s] < cap:
+                restored[n, s] = compacted[sp[n, s]]
+    np.testing.assert_array_equal(restored[valid], vals[valid])
+    # capacity overflow drops, never corrupts
+    _, ok2, sp2, _ = compact_samples(jnp.asarray(valid), 4)
+    assert int(np.asarray(ok2).sum()) == 4
+    assert int((np.asarray(sp2) < 4).sum()) == 4
