@@ -1,0 +1,129 @@
+"""Configuration for the TPU-native RAD-NeRF framework.
+
+Replaces the reference's argparse namespace (reference main.py:12-108,
+duplicated in test.py:12-108) with one typed dataclass. Field names and
+defaults mirror the reference CLI so recipes translate 1:1; the `-O` bundle
+and test-mode smoothing derivations (main.py:111-118) are `apply_O()` /
+`apply_test_mode()`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class Options:
+    # data
+    path: str = ""
+    workspace: str = "workspace"
+    seed: int = 0
+    data_range: Tuple[int, int] = (0, -1)
+
+    # training
+    iters: int = 200_000
+    lr: float = 5e-3
+    lr_net: float = 5e-4
+    ckpt: str = "latest"
+    num_rays: int = 4096 * 16
+    max_steps: int = 16
+    update_extra_interval: int = 16
+    max_ray_batch: int = 4096
+
+    # precision / losses
+    fp16: bool = False  # on TPU this selects bfloat16 compute
+    lambda_amb: float = 0.1
+
+    # appearance / conditioning
+    bg_img: str = ""
+    exp_eye: bool = False
+    fix_eye: float = -1.0
+    smooth_eye: bool = False
+    torso_shrink: float = 0.8
+
+    # scene
+    color_space: str = "srgb"
+    preload: int = 0
+    bound: float = 1.0
+    scale: float = 4.0
+    offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    dt_gamma: float = 1.0 / 256
+    min_near: float = 0.05
+    density_thresh: float = 10.0
+    density_thresh_torso: float = 0.01
+    patch_size: int = 1
+
+    finetune_lips: bool = False
+    smooth_lips: bool = False
+
+    torso: bool = False
+    head_ckpt: str = ""
+
+    # GUI-equivalent interactive defaults (headless frame server)
+    gui: bool = False
+    W: int = 450
+    H: int = 450
+    radius: float = 3.35
+    fovy: float = 21.24
+    max_spp: int = 1
+
+    # audio
+    att: int = 2
+    aud: str = ""
+    emb: bool = False
+    ind_dim: int = 4
+    ind_num: int = 10_000
+    ind_dim_torso: int = 8
+    amb_dim: int = 2
+    part: bool = False
+    part2: bool = False
+
+    train_camera: bool = False
+    smooth_path: bool = False
+    smooth_path_window: int = 7
+
+    # asr (streaming features)
+    asr: bool = False
+    asr_wav: str = ""
+    asr_play: bool = False
+    asr_model: str = "cpierse/wav2vec2-large-xlsr-53-esperanto"
+    asr_save_feats: bool = False
+    fps: int = 50
+    l: int = 10
+    m: int = 50
+    r: int = 10
+
+    # test-mode flags
+    test: bool = False
+    test_train: bool = False
+    smooth_camera_path: bool = False  # alias of smooth_path for clarity
+    pose: str = ""  # inference-only: pose json
+
+    # TPU-specific knobs (no reference counterpart)
+    sample_capacity_mult: int = 4  # field-eval buffer = mult * num_rays
+    march_iters: Optional[int] = None  # None -> safe bound from MarchConfig
+    data_parallel: bool = False  # shard ray batches over the device mesh
+
+    def apply_O(self) -> "Options":
+        """-O bundle: fp16 + exp_eye (main.py:111-113)."""
+        self.fp16 = True
+        self.exp_eye = True
+        return self
+
+    def apply_test_mode(self) -> "Options":
+        """test-mode smoothing defaults (main.py:115-118)."""
+        self.test = True
+        self.smooth_path = True
+        self.smooth_eye = True
+        self.smooth_lips = True
+        return self
+
+    @property
+    def audio_in_dim(self) -> int:
+        # network.py:114-119
+        if "esperanto" in self.asr_model:
+            return 44
+        if "deepspeech" in self.asr_model:
+            return 29
+        return 32

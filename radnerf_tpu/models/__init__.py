@@ -1,0 +1,41 @@
+"""Model layer: the audio-conditioned NeRF field and its rendering engine."""
+
+from .network import (
+    NetworkConfig,
+    encode_audio,
+    field_density,
+    field_forward,
+    forward_torso,
+    init_params,
+    param_groups,
+)
+from .renderer import (
+    GRID_SIZE,
+    RenderConfig,
+    RendererState,
+    bilinear_sample_2d,
+    mark_untrained_grid,
+    render_rays,
+    smooth_audio_code,
+    update_density_grid,
+    update_torso_grid,
+)
+
+__all__ = [
+    "NetworkConfig",
+    "encode_audio",
+    "field_density",
+    "field_forward",
+    "forward_torso",
+    "init_params",
+    "param_groups",
+    "GRID_SIZE",
+    "RenderConfig",
+    "RendererState",
+    "bilinear_sample_2d",
+    "mark_untrained_grid",
+    "render_rays",
+    "smooth_audio_code",
+    "update_density_grid",
+    "update_torso_grid",
+]

@@ -1,0 +1,455 @@
+"""Rendering engine: occupancy-grid state + the whole-frame render pipeline.
+
+Reference: nerf/renderer.py (NeRFRenderer). The reference mixes mutable
+buffers (density_grid, bitfield, step counters, smoothed audio code) into an
+nn.Module and drives an irregular CUDA pipeline (run_cuda, renderer.py:158-316)
+plus a Python alive-ray loop at inference (:239-262). Here:
+
+- All mutable state is an explicit ``RendererState`` pytree threaded through
+  pure functions (TPU-functional style).
+- One jit-able ``render_rays`` covers train AND inference: fixed-lattice
+  marching (ops.marching), optional prefix-sum compaction for the hot field
+  evaluation, closed-form masked compositing, torso 2-D layer, background
+  blending. The mean_count/step_counter machinery (renderer.py:126-129,
+  :495-499) disappears — capacity is a static config knob.
+- Grid maintenance (update_extra_state, renderer.py:383-501;
+  mark_untrained_grid, :318-381) are pure state-update functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from ..ops import (
+    MarchConfig,
+    compact_samples,
+    composite_rays,
+    march_rays,
+    morton3d,
+    morton_dilate,
+    near_far_from_aabb,
+    packbits,
+)
+from .network import (
+    NetworkConfig,
+    encode_audio,
+    field_density,
+    field_forward,
+    forward_torso,
+)
+
+GRID_SIZE = 128  # renderer.py:70
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static rendering configuration (derived from Options)."""
+
+    bound: float = 1.0
+    min_near: float = 0.05
+    density_thresh: float = 10.0
+    density_thresh_torso: float = 0.01
+    max_steps: int = 16
+    dt_gamma: float = 1.0 / 256
+    grid_size: int = GRID_SIZE
+    torso: bool = False
+    exp_eye: bool = True
+    smooth_lips: bool = False
+    density_scale: float = 1.0
+    T_thresh: float = 1e-4
+    # TPU: static field-eval buffer size as a multiple of the ray count
+    sample_capacity_mult: int = 4
+    march_iters: Optional[int] = None
+
+    @property
+    def cascade(self) -> int:
+        return 1 + math.ceil(math.log2(max(self.bound, 1.0)))  # renderer.py:69
+
+    @property
+    def aabb(self) -> tuple:
+        b = self.bound
+        return (-b, -b / 2, -b, b, b / 2, b)  # renderer.py:86
+
+    def march_config(self) -> MarchConfig:
+        return MarchConfig(
+            bound=self.bound,
+            cascade=self.cascade,
+            grid_size=self.grid_size,
+            max_steps=self.max_steps,
+            dt_gamma=self.dt_gamma,
+            march_iters=self.march_iters,
+        )
+
+    @staticmethod
+    def from_options(opt) -> "RenderConfig":
+        return RenderConfig(
+            bound=opt.bound,
+            min_near=opt.min_near,
+            density_thresh=opt.density_thresh,
+            density_thresh_torso=opt.density_thresh_torso,
+            max_steps=opt.max_steps,
+            dt_gamma=opt.dt_gamma,
+            torso=opt.torso,
+            exp_eye=opt.exp_eye,
+            smooth_lips=opt.smooth_lips,
+            sample_capacity_mult=opt.sample_capacity_mult,
+            march_iters=opt.march_iters,
+        )
+
+
+@struct.dataclass
+class RendererState:
+    """Explicit mutable renderer state (reference: registered buffers,
+    renderer.py:109-133)."""
+
+    density_grid: jax.Array  # [cascade, H^3] float32; -1 marks untrained cells
+    density_bitfield: jax.Array  # [cascade*H^3//8] uint8
+    mean_density: jax.Array  # [] float32
+    density_grid_torso: jax.Array  # [H^2] float32 (zeros if torso off)
+    mean_density_torso: jax.Array  # [] float32
+    enc_a_smooth: jax.Array  # [1, audio_dim] smoothed audio code
+    enc_a_initialized: jax.Array  # [] bool
+
+    @staticmethod
+    def create(cfg: RenderConfig, audio_dim: int = 64) -> "RendererState":
+        H = cfg.grid_size
+        cas = cfg.cascade
+        return RendererState(
+            density_grid=jnp.zeros((cas, H**3), jnp.float32),
+            density_bitfield=jnp.zeros((cas * H**3 // 8,), jnp.uint8),
+            mean_density=jnp.zeros((), jnp.float32),
+            density_grid_torso=jnp.zeros((H * H,), jnp.float32),
+            mean_density_torso=jnp.zeros((), jnp.float32),
+            enc_a_smooth=jnp.zeros((1, audio_dim), jnp.float32),
+            enc_a_initialized=jnp.zeros((), jnp.bool_),
+        )
+
+
+def bilinear_sample_2d(grid_flat: jax.Array, coords: jax.Array, H: int) -> jax.Array:
+    """Sample a flat [H*H] grid at coords [..., 2] in [-1, 1].
+
+    Matches F.grid_sample(grid.view(1,1,H,H), coords.view(1,-1,1,2),
+    align_corners=True) with the reference's flat layout
+    ``flat[c1*H + c0]`` (renderer.py:282, :472).
+    """
+    a = (coords[..., 0] + 1.0) * 0.5 * (H - 1)  # "x" -> minor axis
+    b = (coords[..., 1] + 1.0) * 0.5 * (H - 1)  # "y" -> major axis
+    a0 = jnp.clip(jnp.floor(a), 0, H - 1)
+    b0 = jnp.clip(jnp.floor(b), 0, H - 1)
+    a1 = jnp.clip(a0 + 1, 0, H - 1)
+    b1 = jnp.clip(b0 + 1, 0, H - 1)
+    wa = jnp.clip(a - a0, 0.0, 1.0)
+    wb = jnp.clip(b - b0, 0.0, 1.0)
+    a0i, a1i, b0i, b1i = (v.astype(jnp.int32) for v in (a0, a1, b0, b1))
+
+    def g(bi, ai):
+        return jnp.take(grid_flat, bi * H + ai, axis=0)
+
+    return (
+        g(b0i, a0i) * (1 - wa) * (1 - wb)
+        + g(b0i, a1i) * wa * (1 - wb)
+        + g(b1i, a0i) * (1 - wa) * wb
+        + g(b1i, a1i) * wa * wb
+    )
+
+
+def smooth_audio_code(state: RendererState, enc_a: jax.Array, enabled: bool):
+    """enc_a EMA: 0.35*prev + 0.65*new (renderer.py:190-194)."""
+    if not enabled:
+        return enc_a, state
+    lam = 0.35
+    smoothed = jnp.where(
+        state.enc_a_initialized, lam * state.enc_a_smooth + (1 - lam) * enc_a, enc_a
+    )
+    state = state.replace(
+        enc_a_smooth=smoothed, enc_a_initialized=jnp.ones((), jnp.bool_)
+    )
+    return smoothed, state
+
+
+def _eval_field_compacted(params, net_cfg, march, rays_d, enc_a, ind_code, eye, capacity):
+    """Evaluate the field on compacted valid samples only, scatter back dense.
+
+    The TPU analogue of evaluating only generated points (the reference's M
+    buffer): prefix-sum compaction -> [capacity] point batch -> field MLPs ->
+    scatter to the [N, S] lattice for compositing.
+    """
+    N, S = march["valid"].shape
+    gather_idx, gather_ok, scatter_pos, _ = compact_samples(march["valid"], capacity)
+
+    xyz_flat = march["xyz"].reshape(N * S, 3)[gather_idx]
+    dirs_flat = jnp.repeat(rays_d[:, None, :], S, axis=1).reshape(N * S, 3)[gather_idx]
+
+    sigma_c, color_c, ambient_c = field_forward(
+        params, net_cfg, xyz_flat, dirs_flat, enc_a, ind_code, eye
+    )
+    sigma_c = jnp.where(gather_ok, sigma_c, 0.0)
+
+    # scatter compacted results back to the lattice
+    sigmas = jnp.zeros((N * S,), jnp.float32).at[gather_idx].set(
+        sigma_c, mode="drop"
+    )
+    colors = jnp.zeros((N * S, 3), jnp.float32).at[gather_idx].set(
+        jnp.where(gather_ok[:, None], color_c, 0.0), mode="drop"
+    )
+    ambients = jnp.zeros((N * S, ambient_c.shape[-1]), jnp.float32).at[gather_idx].set(
+        jnp.where(gather_ok[:, None], ambient_c, 0.0), mode="drop"
+    )
+    # samples dropped by capacity overflow must not contribute
+    kept = (scatter_pos < capacity).reshape(N * S)
+    sigmas = jnp.where(kept, sigmas, 0.0)
+    return (
+        sigmas.reshape(N, S),
+        colors.reshape(N, S, 3),
+        ambients.reshape(N, S, -1),
+        march["valid"] & kept.reshape(N, S),
+    )
+
+
+def render_rays(
+    params: dict,
+    net_cfg: NetworkConfig,
+    cfg: RenderConfig,
+    state: RendererState,
+    rays_o: jax.Array,  # [N, 3]
+    rays_d: jax.Array,  # [N, 3]
+    auds: Optional[jax.Array],  # [seq, audio_in_dim, 16] or None
+    bg_coords: jax.Array,  # [N, 2]
+    pose6: jax.Array,  # [1, 6]
+    eye: Optional[jax.Array],  # [1, 1] or None
+    index: jax.Array,  # [] int32 frame index (for individual codes)
+    bg_color: jax.Array,  # [N, 3]
+    noises: Optional[jax.Array] = None,  # [N] perturbation or None
+    training: bool = False,
+    compact: bool = True,
+):
+    """Render a batch of rays (run_cuda equivalent, renderer.py:158-316).
+
+    Returns (results dict, new RendererState). Image is composited over the
+    torso layer + background exactly like the reference (:265-311).
+    """
+    N = rays_o.shape[0]
+    mcfg = cfg.march_config()
+    aabb = jnp.asarray(cfg.aabb, jnp.float32)
+
+    nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, cfg.min_near)
+    nears = jax.lax.stop_gradient(nears)
+    fars = jax.lax.stop_gradient(fars)
+
+    enc_a = encode_audio(params, net_cfg, auds)
+    if enc_a is not None and cfg.smooth_lips:
+        enc_a, state = smooth_audio_code(state, enc_a, True)
+
+    if net_cfg.ind_dim > 0:
+        ind_index = index if training else jnp.zeros_like(index)
+        ind_code = params["individual_codes"][ind_index]
+    else:
+        ind_code = None
+
+    results = {}
+
+    march = march_rays(rays_o, rays_d, nears, fars, state.density_bitfield, mcfg, noises)
+    dirs = jnp.broadcast_to(rays_d[:, None, :], march["xyz"].shape)
+
+    if compact:
+        capacity = cfg.sample_capacity_mult * N
+        sigmas, colors, ambients, valid = _eval_field_compacted(
+            params, net_cfg, march, rays_d, enc_a, ind_code, eye, capacity
+        )
+    else:
+        sigmas, colors, ambients = field_forward(
+            params, net_cfg, march["xyz"], dirs, enc_a, ind_code, eye
+        )
+        valid = march["valid"]
+
+    sigmas = sigmas * cfg.density_scale
+    amb_abs = jnp.sum(jnp.abs(ambients), axis=-1)
+
+    comp = composite_rays(
+        sigmas, colors, march["dt"], march["t"], valid,
+        ambient=amb_abs, T_thresh=cfg.T_thresh,
+    )
+    weights_sum = comp["weights_sum"]
+    depth_raw = comp["depth"]
+    image = comp["image"]
+
+    if training:
+        results["weights_sum"] = weights_sum
+        results["ambient"] = comp["ambient_sum"]
+
+    # ---- torso layer over background (renderer.py:269-302)
+    if cfg.torso:
+        if net_cfg.ind_dim_torso > 0:
+            tors_index = index if training else jnp.zeros_like(index)
+            ind_code_torso = params["individual_codes_torso"][tors_index]
+        else:
+            ind_code_torso = None
+
+        thresh_t = jnp.minimum(cfg.density_thresh_torso, state.mean_density_torso)
+        occupancy = bilinear_sample_2d(state.density_grid_torso, bg_coords, cfg.grid_size)
+        mask = occupancy > thresh_t
+
+        # evaluate the (tiny) torso MLPs on all pixels, mask the result —
+        # masked-out pixels get alpha 0 either way (see SURVEY.md §7).
+        t_alpha, t_color, deform = forward_torso(
+            params, net_cfg, bg_coords, pose6, ind_code_torso
+        )
+        t_alpha = jnp.where(mask[..., None], t_alpha, 0.0)
+        t_color = jnp.where(mask[..., None], t_color, 0.0)
+        results["deform"] = deform
+
+        bg_color = t_color * t_alpha + bg_color * (1.0 - t_alpha)
+        results["torso_alpha"] = t_alpha
+        results["torso_color"] = bg_color
+
+    image = image + (1.0 - weights_sum)[..., None] * bg_color
+    image = jnp.clip(image, 0.0, 1.0)
+    depth = jnp.clip(depth_raw - nears, 0.0, None) / jnp.maximum(fars - nears, 1e-8)
+
+    results["image"] = image
+    results["depth"] = depth
+    return results, state
+
+
+# --------------------------------------------------------------------------
+# grid maintenance
+# --------------------------------------------------------------------------
+
+def _grid_points(cfg: RenderConfig):
+    """All 128^3 cell centers + their Morton indices (static)."""
+    H = cfg.grid_size
+    lin = jnp.arange(H, dtype=jnp.int32)
+    xx, yy, zz = jnp.meshgrid(lin, lin, lin, indexing="ij")
+    coords = jnp.stack([xx.reshape(-1), yy.reshape(-1), zz.reshape(-1)], axis=-1)
+    indices = morton3d(coords)
+    xyzs01 = 2.0 * coords.astype(jnp.float32) / (H - 1) - 1.0  # [-1, 1]
+    return coords, indices, xyzs01
+
+
+def update_density_grid(
+    params: dict,
+    net_cfg: NetworkConfig,
+    cfg: RenderConfig,
+    state: RendererState,
+    enc_a: Optional[jax.Array],
+    eye: Optional[jax.Array],
+    key: jax.Array,
+    decay: float = 0.95,
+    chunk: int = 128**3 // 4,
+) -> RendererState:
+    """Head density-grid maintenance (update_extra_state, renderer.py:397-448).
+
+    Re-queries sigma at jittered cell centers over all cascades, Morton-
+    scatters, dilates, EMA-max updates, re-packs the bitfield.
+    """
+    H = cfg.grid_size
+    _, indices, xyzs01 = _grid_points(cfg)
+
+    tmp = jnp.zeros_like(state.density_grid)
+    n_pts = H**3
+    for cas in range(cfg.cascade):
+        bound = min(2**cas, cfg.bound)
+        half = bound / H
+        cas_xyz = xyzs01 * (bound - half)
+        key, sub = jax.random.split(key)
+        noise = jax.random.uniform(sub, cas_xyz.shape, minval=-half, maxval=half)
+        pts = cas_xyz + noise
+        sig_parts = []
+        for head in range(0, n_pts, chunk):
+            part = jax.lax.dynamic_slice_in_dim(pts, head, min(chunk, n_pts - head), 0)
+            sig = field_density(params, net_cfg, part, enc_a, eye)["sigma"]
+            sig_parts.append(sig * cfg.density_scale)
+        sigmas = jnp.concatenate(sig_parts)
+        tmp = tmp.at[cas, indices].set(sigmas)
+
+    tmp = morton_dilate(tmp, H)
+
+    valid = (state.density_grid >= 0) & (tmp >= 0)
+    new_grid = jnp.where(
+        valid, jnp.maximum(state.density_grid * decay, tmp), state.density_grid
+    )
+    mean_density = jnp.mean(jnp.clip(new_grid, 0.0, None))
+    thresh = jnp.minimum(mean_density, cfg.density_thresh)
+    bitfield = packbits(new_grid, thresh)
+    return state.replace(
+        density_grid=new_grid, density_bitfield=bitfield, mean_density=mean_density
+    )
+
+
+def update_torso_grid(
+    params: dict,
+    net_cfg: NetworkConfig,
+    cfg: RenderConfig,
+    state: RendererState,
+    pose6: jax.Array,
+    ind_code_torso: Optional[jax.Array],
+    key: jax.Array,
+    decay: float = 0.95,
+) -> RendererState:
+    """Torso 2-D alpha-grid maintenance (renderer.py:451-490)."""
+    H = cfg.grid_size
+    lin = jnp.arange(H, dtype=jnp.int32)
+    xx, yy = jnp.meshgrid(lin, lin, indexing="ij")
+    coords = jnp.stack([xx.reshape(-1), yy.reshape(-1)], axis=-1)
+    indices = coords[:, 1] * H + coords[:, 0]  # NOTE: xy transposed (:472)
+    half = 1.0 / H
+    xys = (2.0 * coords.astype(jnp.float32) / (H - 1) - 1.0) * (1.0 - half)
+    noise = jax.random.uniform(key, xys.shape, minval=-half, maxval=half)
+    xys = xys + noise
+
+    alphas, _, _ = forward_torso(params, net_cfg, xys, pose6, ind_code_torso)
+    tmp = jnp.zeros_like(state.density_grid_torso).at[indices].set(alphas[..., 0])
+
+    # max_pool2d k5 s1 p2 dilation (renderer.py:486)
+    img = tmp.reshape(1, H, H, 1)
+    pooled = jax.lax.reduce_window(
+        img, -jnp.inf, jax.lax.max, (1, 5, 5, 1), (1, 1, 1, 1),
+        [(0, 0), (2, 2), (2, 2), (0, 0)],
+    )
+    tmp = pooled.reshape(-1)
+
+    new_grid = jnp.maximum(state.density_grid_torso * decay, tmp)
+    return state.replace(
+        density_grid_torso=new_grid, mean_density_torso=jnp.mean(new_grid)
+    )
+
+
+def mark_untrained_grid(
+    cfg: RenderConfig, state: RendererState, poses: jax.Array, intrinsics
+) -> RendererState:
+    """Mark cells not visible from any training camera as -1
+    (renderer.py:318-381).
+
+    poses: [B, 4, 4] cam2world; intrinsics: (fx, fy, cx, cy).
+    """
+    H = cfg.grid_size
+    fx, fy, cx, cy = intrinsics
+    _, indices, world01 = _grid_points(cfg)
+
+    count = jnp.zeros_like(state.density_grid)
+    for cas in range(cfg.cascade):
+        bound = min(2**cas, cfg.bound)
+        half = bound / H
+        pts = world01 * (bound - half)  # [P, 3]
+
+        def per_camera(carry, pose):
+            # world -> cam: subtract origin, project on R (c2w rows)
+            cam = (pts - pose[:3, 3]) @ pose[:3, :3]
+            mask_z = cam[..., 2] > 0
+            mask_x = jnp.abs(cam[..., 0]) < cx / fx * cam[..., 2] + half * 2
+            mask_y = jnp.abs(cam[..., 1]) < cy / fy * cam[..., 2] + half * 2
+            return carry + (mask_z & mask_x & mask_y).astype(jnp.int32), None
+
+        seen, _ = jax.lax.scan(
+            per_camera, jnp.zeros((pts.shape[0],), jnp.int32), poses
+        )
+        count = count.at[cas, indices].add(seen.astype(count.dtype))
+
+    new_grid = jnp.where(count == 0, -1.0, state.density_grid)
+    return state.replace(density_grid=new_grid)
