@@ -156,10 +156,15 @@ class TalkingHeadDataset:
                 cx_ = (lxmin + lxmax) // 2
                 cy_ = (lymin + lymax) // 2
                 half = max(lxmax - lxmin, lymax - lymin) // 2
-                lips_rect.append([
-                    max(0, cx_ - half), min(self.H, cx_ + half),
-                    max(0, cy_ - half), min(self.W, cy_ + half),
-                ])
+                # TPU: bucket the rect half-size to a multiple of 16 so the
+                # lips-finetune batch shapes (and thus jit compilations) are
+                # bounded; the rect is shifted (not clipped) to stay in-frame
+                # so its static size is preserved. The reference pads to a
+                # square of the exact size (provider.py:487-502).
+                half = ((half + 15) // 16) * 16
+                x0 = min(max(0, cx_ - half), self.H - 2 * half)
+                y0 = min(max(0, cy_ - half), self.W - 2 * half)
+                lips_rect.append([x0, x0 + 2 * half, y0, y0 + 2 * half])
 
         self.poses = np.stack(poses, 0)
         if opt.smooth_path:

@@ -1,0 +1,300 @@
+"""End-to-end training-engine tests on a tiny synthetic on-disk dataset in
+the reference's format (transforms json + gt/torso images + landmarks +
+audio features + background plate)."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radnerf_tpu.config import Options
+from radnerf_tpu.data import TalkingHeadDataset
+from radnerf_tpu.models import NetworkConfig, RenderConfig
+from radnerf_tpu.train import (
+    LPIPS,
+    LPIPSMeter,
+    PSNRMeter,
+    Trainer,
+    import_torch_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+
+H = W = 64
+N_FRAMES = 4
+
+
+def _make_pose(dist=3.3):
+    """A transform_matrix whose ngp conversion has R=I, t=(0,0,-dist)
+    (inverting provider.py:19-26 with scale=4)."""
+    pose = np.zeros((4, 4), np.float32)
+    pose[3, 3] = 1
+    pose[0, :3] = [0, 0, -1]
+    pose[1, :3] = [1, 0, 0]
+    pose[2, :3] = [0, -1, 0]
+    pose[0, 3] = -dist / 4.0  # scale=4
+    return pose
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    import cv2
+
+    root = tmp_path_factory.mktemp("obama_tiny")
+    os.makedirs(root / "gt_imgs")
+    os.makedirs(root / "torso_imgs")
+    os.makedirs(root / "ori_imgs")
+    rng = np.random.default_rng(0)
+
+    frames = []
+    for i in range(N_FRAMES):
+        img = (rng.uniform(0, 255, (H, W, 3))).astype(np.uint8)
+        cv2.imwrite(str(root / "gt_imgs" / f"{i}.jpg"), img)
+        torso = (rng.uniform(0, 255, (H, W, 4))).astype(np.uint8)
+        cv2.imwrite(str(root / "torso_imgs" / f"{i}.png"), torso)
+        # 68 landmarks: (x=col, y=row) pairs within the frame
+        lms = rng.uniform(10, 50, (68, 2))
+        np.savetxt(str(root / "ori_imgs" / f"{i}.lms"), lms)
+        frames.append({
+            "img_id": i,
+            "aud_id": i,
+            "transform_matrix": _make_pose().tolist(),
+        })
+
+    cv2.imwrite(str(root / "bc.jpg"), (rng.uniform(0, 255, (H, W, 3))).astype(np.uint8))
+    np.save(str(root / "aud_eo.npy"), rng.normal(size=(N_FRAMES + 2, 16, 44)).astype(np.float32))
+
+    transform = {"focal_len": 100.0, "cx": W / 2, "cy": H / 2, "frames": frames}
+    with open(root / "transforms_train.json", "w") as f:
+        json.dump(transform, f)
+    with open(root / "transforms_val.json", "w") as f:
+        json.dump(transform, f)
+    return str(root)
+
+
+def _opts(data_dir, tmp, **kw):
+    opt = Options(path=data_dir, workspace=tmp, num_rays=512, exp_eye=True,
+                  iters=100, dt_gamma=0.0, sample_capacity_mult=2, **kw)
+    return opt
+
+
+TINY_RC = dict(grid_size=32, max_steps=8, dt_gamma=0.0, sample_capacity_mult=2)
+
+
+def test_dataset_loading(data_dir):
+    opt = _opts(data_dir, "/tmp/ws_ds")
+    ds = TalkingHeadDataset(opt, split="train")
+    assert len(ds) == N_FRAMES
+    assert ds.poses.shape == (N_FRAMES, 4, 4)
+    np.testing.assert_allclose(ds.poses[0, :3, 3], [0, 0, -3.3], atol=1e-5)
+    batch = ds.collate(0)
+    assert batch["rays_o"].shape == (512, 3)
+    assert batch["auds"].shape == (8, 44, 16)
+    assert batch["images"].shape == (512, 3)
+    assert batch["bg_color"].shape == (512, 3)
+    assert batch["face_mask"].shape == (512,)
+    assert batch["eye"].shape == (1, 1)
+    assert batch["poses"].shape == (1, 6)
+    # full-frame mode
+    ds.training = False
+    ds.num_rays = -1
+    full = ds.collate(1)
+    assert full["rays_o"].shape == (H * W, 3)
+    assert full["images"].shape == (1, H, W, 3)
+
+
+def test_trainer_head_stage(data_dir, tmp_path):
+    opt = _opts(data_dir, str(tmp_path / "ws"))
+    rc = RenderConfig(torso=False, exp_eye=True, **TINY_RC)
+    ds = TalkingHeadDataset(opt, split="train")
+    val = TalkingHeadDataset(opt, split="val")
+    val.eval_count = 1
+    tr = Trainer("ngp", opt, render_cfg=rc, workspace=str(tmp_path / "ws"),
+                 metrics=[PSNRMeter()], ema_decay=0.95, ema_update_interval=2,
+                 use_tensorboard=False, mute=True)
+    loss0 = None
+    tr.train(ds, val, max_epochs=2)
+    assert tr.global_step == 2 * N_FRAMES
+    assert len(tr.stats["loss"]) == 2
+    loss0 = tr.stats["loss"][0]
+    assert np.isfinite(loss0)
+    # checkpoints written
+    assert os.path.exists(tmp_path / "ws" / "checkpoints" / "ngp_ep0002.npz")
+    assert os.path.exists(tmp_path / "ws" / "checkpoints" / "ngp.npz")  # best
+
+    # resume restores step counters
+    tr2 = Trainer("ngp", opt, render_cfg=rc, workspace=str(tmp_path / "ws"),
+                  use_checkpoint="latest", use_tensorboard=False, mute=True)
+    assert tr2.epoch == 2 and tr2.global_step == 2 * N_FRAMES
+
+    # grid state advanced
+    assert float(tr.state.mean_density) > 0
+
+
+def test_trainer_torso_stage(data_dir, tmp_path):
+    opt = _opts(data_dir, str(tmp_path / "ws_t"), torso=True)
+    rc = RenderConfig(torso=True, exp_eye=True, **TINY_RC)
+    ds = TalkingHeadDataset(opt, split="train")
+    tr = Trainer("ngp", opt, render_cfg=rc, workspace=str(tmp_path / "ws_t"),
+                 use_tensorboard=False, mute=True, use_checkpoint="scratch")
+    head_before = jax.tree_util.tree_leaves(tr.params["sigma_net"])[0].copy()
+    torso_before = jax.tree_util.tree_leaves(tr.params["torso_net"])[0].copy()
+    tr.train_gui(ds, step=4)
+    head_after = jax.tree_util.tree_leaves(tr.params["sigma_net"])[0]
+    torso_after = jax.tree_util.tree_leaves(tr.params["torso_net"])[0]
+    # head frozen, torso trains (main.py:142-157 freeze semantics)
+    np.testing.assert_array_equal(np.asarray(head_before), np.asarray(head_after))
+    assert bool(jnp.any(torso_before != torso_after))
+    assert float(tr.state.mean_density_torso) > 0
+
+
+def test_trainer_test_video(data_dir, tmp_path):
+    opt = _opts(data_dir, str(tmp_path / "ws_v"))
+    rc = RenderConfig(torso=False, exp_eye=True, **TINY_RC)
+    ds = TalkingHeadDataset(opt, split="val")
+    ds.training = False
+    ds.num_rays = -1
+    tr = Trainer("ngp", opt, render_cfg=rc, workspace=str(tmp_path / "ws_v"),
+                 use_tensorboard=False, mute=True, use_checkpoint="scratch")
+    # occupancy so something renders
+    tr.state = tr.state.replace(
+        density_bitfield=jnp.full_like(tr.state.density_bitfield, 255)
+    )
+    fps = tr.test(ds, save_path=str(tmp_path / "out"), write_image=True)
+    assert fps > 0
+    outs = os.listdir(tmp_path / "out")
+    assert any(o.endswith("_rgb.png") for o in outs)
+
+    # interactive free-viewpoint render
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = -3.3
+    out = tr.test_gui(pose, (100.0, 100.0, 32.0, 32.0), 64, 64,
+                      auds=ds.collate(0)["auds"])
+    assert out["image"].shape == (64, 64, 3)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    cfg = NetworkConfig(torso=True)
+    from radnerf_tpu.models import RendererState, init_params
+
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rc = RenderConfig(torso=True, **TINY_RC)
+    state = RendererState.create(rc)
+    path = str(tmp_path / "ck.npz")
+    save_checkpoint(path, params, state, meta={"epoch": 3, "global_step": 77})
+    p2, s2, _, _, meta = load_checkpoint(path)
+    assert meta["epoch"] == 3
+    for k in params:
+        a = jax.tree_util.tree_leaves(params[k])
+        b = jax.tree_util.tree_leaves(p2[k])
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert "density_grid" in s2
+    # best-style: grid dropped
+    save_checkpoint(path, params, state, meta={}, include_grid=False)
+    _, s3, _, _, _ = load_checkpoint(path)
+    assert "density_grid" not in s3
+
+
+def test_torch_checkpoint_import(tmp_path):
+    """Build a synthetic torch state_dict in the reference's exact key layout
+    (network.py:91-167) and verify functional equivalence after import."""
+    torch = pytest.importorskip("torch")
+
+    cfg = NetworkConfig(torso=True)
+    gen = torch.Generator().manual_seed(0)
+
+    def lin(i, o, bias=True):
+        d = {"weight": torch.randn(o, i, generator=gen) * 0.1}
+        if bias:
+            d["bias"] = torch.randn(o, generator=gen) * 0.1
+        return d
+
+    def conv(i, o, k):
+        return {"weight": torch.randn(o, i, k, generator=gen) * 0.1,
+                "bias": torch.randn(o, generator=gen) * 0.1}
+
+    sd = {}
+    for j, (ci, co) in enumerate([(44, 32), (32, 32), (32, 64), (64, 64)]):
+        for n, v in conv(ci, co, 3).items():
+            sd[f"audio_net.encoder_conv.{j*2}.{n}"] = v
+    for j, (ci, co) in enumerate([(64, 64), (64, 64)]):
+        for n, v in lin(ci, co).items():
+            sd[f"audio_net.encoder_fc1.{j*2}.{n}"] = v
+    for j, (ci, co) in enumerate([(64, 16), (16, 8), (8, 4), (4, 2), (2, 1)]):
+        for n, v in conv(ci, co, 3).items():
+            sd[f"audio_att_net.attentionConvNet.{j*2}.{n}"] = v
+    for n, v in lin(8, 8).items():
+        sd[f"audio_att_net.attentionNet.0.{n}"] = v
+    sd["encoder.embeddings"] = torch.randn(903480, 2, generator=gen) * 1e-4
+    sd["encoder_ambient.embeddings"] = torch.randn(555520, 2, generator=gen) * 1e-4
+    sd["torso_encoder.embeddings"] = torch.randn(555520, 2, generator=gen) * 1e-4
+    for name, dims in [
+        ("ambient_net", [(96, 64), (64, 64), (64, 2)]),
+        ("sigma_net", [(65, 64), (64, 64), (64, 65)]),
+        ("color_net", [(84, 64), (64, 3)]),
+        ("torso_deform_net", [(104, 64), (64, 64), (64, 2)]),
+        ("torso_net", [(136, 32), (32, 32), (32, 4)]),
+    ]:
+        for j, (ci, co) in enumerate(dims):
+            sd[f"{name}.net.{j}.weight"] = lin(ci, co, False)["weight"]
+    sd["individual_codes"] = torch.randn(10000, 4, generator=gen) * 0.1
+    sd["individual_codes_torso"] = torch.randn(10000, 8, generator=gen) * 0.1
+    sd["density_grid"] = torch.rand(1, 128**3)
+    sd["density_bitfield"] = torch.randint(0, 256, (128**3 // 8,), dtype=torch.uint8)
+    sd["density_grid_torso"] = torch.rand(128**2)
+
+    path = str(tmp_path / "ref.pth")
+    torch.save({"model": sd, "epoch": 5, "global_step": 1234,
+                "mean_density": 1.5, "mean_density_torso": 0.2}, path)
+
+    params, state, meta = import_torch_checkpoint(path)
+    assert meta["global_step"] == 1234 and meta["mean_density"] == 1.5
+    assert params["encoder"].shape == (903480, 2)
+    assert "density_grid" in state
+
+    # functional check: torch audio_net forward == jax audio_net forward
+    from radnerf_tpu.models.audio import audio_net_apply
+
+    x = torch.randn(8, 44, 16, generator=gen)
+    with torch.no_grad():
+        h = x
+        convs = [torch.nn.Conv1d(44, 32, 3, 2, 1), torch.nn.Conv1d(32, 32, 3, 2, 1),
+                 torch.nn.Conv1d(32, 64, 3, 2, 1), torch.nn.Conv1d(64, 64, 3, 2, 1)]
+        for j, c in enumerate(convs):
+            c.weight.copy_(sd[f"audio_net.encoder_conv.{j*2}.weight"])
+            c.bias.copy_(sd[f"audio_net.encoder_conv.{j*2}.bias"])
+            h = torch.nn.functional.leaky_relu(c(h), 0.02)
+        h = h.squeeze(-1)
+        fc1 = torch.nn.Linear(64, 64)
+        fc1.weight.copy_(sd["audio_net.encoder_fc1.0.weight"])
+        fc1.bias.copy_(sd["audio_net.encoder_fc1.0.bias"])
+        fc2 = torch.nn.Linear(64, 64)
+        fc2.weight.copy_(sd["audio_net.encoder_fc1.2.weight"])
+        fc2.bias.copy_(sd["audio_net.encoder_fc1.2.bias"])
+        want = fc2(torch.nn.functional.leaky_relu(fc1(h), 0.02)).numpy()
+
+    got = np.asarray(audio_net_apply(params["audio_net"], jnp.asarray(x.numpy())))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_lpips_and_psnr():
+    a = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    b = np.clip(a + 0.1, 0, 1)
+    psnr = PSNRMeter()
+    psnr.update(a, a)
+    assert psnr.measure() > 100
+    lp = LPIPSMeter()
+    lp.update(a, b)
+    d_ab = lp.measure()
+    lp.clear()
+    lp.update(a, a)
+    assert lp.measure() < 1e-6 < d_ab
+
+    # differentiable perceptual loss
+    fn = LPIPS().loss_fn()
+    g = jax.grad(lambda x: jnp.sum(fn(x, jnp.asarray(b)[None])))(jnp.asarray(a)[None])
+    assert bool(jnp.any(g != 0))
