@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Headline benchmark: rendered frames/sec, 512x512, head+torso, one chip.
+
+Baseline (BASELINE.md): the reference achieves ~40 FPS at 450x450 head+torso
+on an NVIDIA V100. The driver's north star: >= 40 FPS at 512x512 on one TPU
+v5e. vs_baseline = measured_fps / 40.
+
+The scene is synthetic but realistic for the workload: a head-sized occupied
+blob in the density grid (so marching hits real occupancy patterns, field
+evaluation runs on a realistic compacted sample count), audio window changing
+every frame (streaming conditioning), full torso + background compositing.
+
+Prints ONE JSON line.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def build_scene(H_img=512, W_img=512):
+    import jax
+    import jax.numpy as jnp
+
+    from radnerf_tpu.models import (
+        NetworkConfig, RenderConfig, RendererState, init_params,
+    )
+    from radnerf_tpu.ops import morton3d_invert, packbits
+
+    from radnerf_tpu.models import compute_occ_bbox
+
+    net_cfg = NetworkConfig(torso=True, exp_eye=True,
+                            compute_dtype="bfloat16")
+    rc = RenderConfig(torso=True, exp_eye=True, max_steps=16,
+                      dt_gamma=1.0 / 256, sample_capacity_mult=3,
+                      march_iters=48, ray_capacity_frac=0.5)
+    params = init_params(jax.random.PRNGKey(0), net_cfg)
+    state = RendererState.create(rc)
+
+    # head-sized blob: occupy cells within radius 0.35 around (0, 0.05, 0);
+    # trained heads are opaque at surfaces (sigma >> 100), which is what the
+    # reference's early termination exploits — use a realistic density.
+    G = rc.grid_size
+    coords = np.asarray(morton3d_invert(jnp.arange(G**3, dtype=jnp.int32)))
+    xyz = 2.0 * coords.astype(np.float32) / (G - 1) - 1.0
+    center = np.array([0.0, 0.05, 0.0], np.float32)
+    occ = (np.linalg.norm(xyz - center, axis=-1) < 0.35).astype(np.float32) * 300.0
+    grid = jnp.asarray(occ)[None]
+    bitfield = packbits(grid, 5.0)
+    state = state.replace(
+        density_grid=grid,
+        density_bitfield=bitfield,
+        mean_density=jnp.asarray(occ.mean()),
+        density_grid_torso=jnp.asarray(
+            (np.abs(np.linspace(-1, 1, G))[None, :] < 0.4).astype(np.float32)
+            .repeat(G, 0).reshape(-1) * 0.5
+        ),
+        mean_density_torso=jnp.asarray(0.05, jnp.float32),
+        occ_bbox=compute_occ_bbox(rc, grid, 5.0),
+    )
+
+    # camera at the reference's working distance (nears ~2.9, fars ~4.1)
+    from radnerf_tpu.data.rays import get_bg_coords, get_rays
+
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 3] = [0.0, 0.0, -3.3]
+    focal = 1200.0 * H_img / 450.0
+    intr = (focal, focal, W_img / 2, H_img / 2)
+    rays = get_rays(pose, intr, H_img, W_img, -1)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "rays_o": jnp.asarray(rays["rays_o"]),
+        "rays_d": jnp.asarray(rays["rays_d"]),
+        "bg_coords": jnp.asarray(get_bg_coords(H_img, W_img)),
+        "poses": jnp.zeros((1, 6), jnp.float32),
+        "eye": jnp.full((1, 1), 0.25, jnp.float32),
+        "index": jnp.zeros((), jnp.int32),
+        "bg_color": jnp.full((H_img * W_img, 3), 0.5, jnp.float32),
+    }
+    aud_stream = jnp.asarray(rng.normal(size=(64, 8, 44, 16)), jnp.float32)
+    return net_cfg, rc, params, state, batch, aud_stream
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from radnerf_tpu.models import render_rays
+
+    net_cfg, rc, params, state, batch, aud_stream = build_scene()
+
+    @jax.jit
+    def render_frame(params, state, batch, auds):
+        results, state2 = render_rays(
+            params, net_cfg, rc, state,
+            batch["rays_o"], batch["rays_d"], auds,
+            batch["bg_coords"], batch["poses"], batch["eye"],
+            batch["index"], batch["bg_color"], training=False,
+        )
+        return results["image"], results["depth"], state2
+
+    # warmup / compile
+    img, depth, state = render_frame(params, state, batch, aud_stream[0])
+    img.block_until_ready()
+
+    n_frames = 30
+    t0 = time.perf_counter()
+    for i in range(n_frames):
+        img, depth, state = render_frame(
+            params, state, batch, aud_stream[i % aud_stream.shape[0]]
+        )
+    img.block_until_ready()
+    dt = time.perf_counter() - t0
+    fps = n_frames / dt
+
+    print(json.dumps({
+        "metric": "render_fps_512x512_head_torso",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / 40.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

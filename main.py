@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Train / self-driven-test CLI (reference: main.py).
+
+Examples (reference recipes, scripts/train_obama_eo.sh):
+  python main.py data/obama/ --workspace trial_obama/ -O --iters 200000
+  python main.py data/obama/ --workspace trial_obama/ -O --iters 250000 --finetune_lips
+  python main.py data/obama/ --workspace trial_obama_torso/ -O --torso \
+      --head_ckpt trial_obama/checkpoints/ngp.npz --iters 200000
+  python main.py data/obama/ --workspace trial_obama/ -O --test
+"""
+
+import argparse
+import dataclasses
+
+import numpy as np
+
+from radnerf_tpu.config import Options
+
+
+def build_parser():
+    p = argparse.ArgumentParser()
+    p.add_argument("path", type=str)
+    p.add_argument("-O", action="store_true", help="equals --fp16 --exp_eye")
+    p.add_argument("--test", action="store_true")
+    p.add_argument("--test_train", action="store_true")
+    p.add_argument("--data_range", type=int, nargs="*", default=[0, -1])
+    p.add_argument("--workspace", type=str, default="workspace")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--iters", type=int, default=200000)
+    p.add_argument("--lr", type=float, default=5e-3)
+    p.add_argument("--lr_net", type=float, default=5e-4)
+    p.add_argument("--ckpt", type=str, default="latest")
+    p.add_argument("--num_rays", type=int, default=4096 * 16)
+    p.add_argument("--max_steps", type=int, default=16)
+    p.add_argument("--update_extra_interval", type=int, default=16)
+    p.add_argument("--max_ray_batch", type=int, default=4096)
+    p.add_argument("--fp16", action="store_true")
+    p.add_argument("--lambda_amb", type=float, default=0.1)
+    p.add_argument("--bg_img", type=str, default="")
+    p.add_argument("--exp_eye", action="store_true")
+    p.add_argument("--fix_eye", type=float, default=-1)
+    p.add_argument("--smooth_eye", action="store_true")
+    p.add_argument("--torso_shrink", type=float, default=0.8)
+    p.add_argument("--color_space", type=str, default="srgb")
+    p.add_argument("--preload", type=int, default=0)
+    p.add_argument("--bound", type=float, default=1.0)
+    p.add_argument("--scale", type=float, default=4.0)
+    p.add_argument("--offset", type=float, nargs="*", default=[0, 0, 0])
+    p.add_argument("--dt_gamma", type=float, default=1 / 256)
+    p.add_argument("--min_near", type=float, default=0.05)
+    p.add_argument("--density_thresh", type=float, default=10)
+    p.add_argument("--density_thresh_torso", type=float, default=0.01)
+    p.add_argument("--patch_size", type=int, default=1)
+    p.add_argument("--finetune_lips", action="store_true")
+    p.add_argument("--smooth_lips", action="store_true")
+    p.add_argument("--torso", action="store_true")
+    p.add_argument("--head_ckpt", type=str, default="")
+    p.add_argument("--gui", action="store_true")
+    p.add_argument("--W", type=int, default=450)
+    p.add_argument("--H", type=int, default=450)
+    p.add_argument("--radius", type=float, default=3.35)
+    p.add_argument("--fovy", type=float, default=21.24)
+    p.add_argument("--max_spp", type=int, default=1)
+    p.add_argument("--att", type=int, default=2)
+    p.add_argument("--aud", type=str, default="")
+    p.add_argument("--emb", action="store_true")
+    p.add_argument("--ind_dim", type=int, default=4)
+    p.add_argument("--ind_num", type=int, default=10000)
+    p.add_argument("--ind_dim_torso", type=int, default=8)
+    p.add_argument("--amb_dim", type=int, default=2)
+    p.add_argument("--part", action="store_true")
+    p.add_argument("--part2", action="store_true")
+    p.add_argument("--train_camera", action="store_true")
+    p.add_argument("--smooth_path", action="store_true")
+    p.add_argument("--smooth_path_window", type=int, default=7)
+    p.add_argument("--asr", action="store_true")
+    p.add_argument("--asr_wav", type=str, default="")
+    p.add_argument("--asr_play", action="store_true")
+    p.add_argument("--asr_model", type=str,
+                   default="cpierse/wav2vec2-large-xlsr-53-esperanto")
+    p.add_argument("--asr_save_feats", action="store_true")
+    p.add_argument("--fps", type=int, default=50)
+    p.add_argument("-l", type=int, default=10)
+    p.add_argument("-m", type=int, default=50)
+    p.add_argument("-r", type=int, default=10)
+    return p
+
+
+def options_from_args(args) -> Options:
+    fields = {f.name for f in dataclasses.fields(Options)}
+    kw = {k: v for k, v in vars(args).items() if k in fields}
+    kw["data_range"] = tuple(args.data_range)
+    kw["offset"] = tuple(args.offset)
+    opt = Options(**kw)
+    if args.O:
+        opt.apply_O()
+    if args.test:
+        opt.apply_test_mode()
+    return opt
+
+
+def main():
+    args = build_parser().parse_args()
+    opt = options_from_args(args)
+
+    np.random.seed(opt.seed)
+
+    from radnerf_tpu.data import TalkingHeadDataset
+    from radnerf_tpu.train import LPIPSMeter, PSNRMeter, Trainer
+
+    if opt.test:
+        metrics = [] if opt.gui else [PSNRMeter(), LPIPSMeter()]
+        try:
+            from radnerf_tpu.train import LMDMeter
+
+            if not opt.gui:
+                metrics.append(LMDMeter(backend="fan"))
+        except ImportError:
+            pass
+        trainer = Trainer("ngp", opt, metrics=metrics, workspace=opt.workspace,
+                          use_checkpoint=opt.ckpt)
+        split = "train" if opt.test_train else "test"
+        test_set = TalkingHeadDataset(opt, split=split)
+        test_set.training = False
+        test_set.num_rays = -1
+        if opt.gui:
+            from radnerf_tpu.apps.frame_server import InteractiveApp
+
+            InteractiveApp(opt, trainer, test_set).run()
+        else:
+            if test_set.has_gt:
+                trainer.evaluate(test_set)
+            trainer.test(test_set)
+        return
+
+    train_ds = TalkingHeadDataset(opt, split="train")
+    assert len(train_ds) < opt.ind_num, (
+        f"dataset has {len(train_ds)} frames, increase --ind_num"
+    )
+    eval_interval = max(1, int(5000 / len(train_ds)))
+    trainer = Trainer("ngp", opt, metrics=[PSNRMeter(), LPIPSMeter()],
+                      workspace=opt.workspace, ema_decay=0.95,
+                      eval_interval=eval_interval, use_checkpoint=opt.ckpt)
+    # torso stage: import + freeze head (main.py:142-157)
+    if opt.torso and opt.head_ckpt:
+        trainer.freeze_loaded_head(opt.head_ckpt)
+
+    if opt.gui:
+        from radnerf_tpu.apps.frame_server import InteractiveApp
+
+        InteractiveApp(opt, trainer, train_ds).run()
+        return
+
+    valid_ds = TalkingHeadDataset(opt, split="val")
+    max_epoch = int(np.ceil(opt.iters / len(train_ds)))
+    print(f"[INFO] max_epoch = {max_epoch}")
+    trainer.train(train_ds, valid_ds, max_epoch)
+
+    test_ds = TalkingHeadDataset(opt, split="test")
+    test_ds.training = False
+    test_ds.num_rays = -1
+    if test_ds.has_gt:
+        trainer.evaluate(test_ds)
+    trainer.test(test_ds)
+
+
+if __name__ == "__main__":
+    main()

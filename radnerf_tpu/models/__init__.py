@@ -14,6 +14,7 @@ from .renderer import (
     RenderConfig,
     RendererState,
     bilinear_sample_2d,
+    compute_occ_bbox,
     mark_untrained_grid,
     render_rays,
     smooth_audio_code,
@@ -33,6 +34,7 @@ __all__ = [
     "RenderConfig",
     "RendererState",
     "bilinear_sample_2d",
+    "compute_occ_bbox",
     "mark_untrained_grid",
     "render_rays",
     "smooth_audio_code",

@@ -34,7 +34,25 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops import GridSpec, freq_encode, freq_output_dim, grid_encode, sh_encode, trunc_exp
+from ..ops import (
+    GridSpec,
+    build_packed_table,
+    freq_encode,
+    freq_output_dim,
+    grid_encode,
+    grid_encode_packed,
+    sh_encode,
+    trunc_exp,
+)
+
+
+def _encode(x, embeddings, spec: GridSpec, bound: float):
+    """Grid encode via the corner-packed fast path (one gather row per
+    point-level) for tiled grids; plain per-corner gathers otherwise."""
+    if spec.gridtype == "tiled":
+        packed = build_packed_table(embeddings, spec)
+        return grid_encode_packed(x, packed, spec, bound)
+    return grid_encode(x, embeddings, spec, bound)
 from .audio import (
     audio_att_net_apply,
     audio_att_net_init,
@@ -199,7 +217,7 @@ def encode_audio(params: dict, cfg: NetworkConfig, a: Optional[jax.Array]) -> Op
 def _spatial_and_ambient(params, cfg: NetworkConfig, x, enc_a):
     """Shared trunk of forward/density (network.py:233-252)."""
     dt = cfg.dtype
-    enc_x = grid_encode(x, params["encoder"], cfg.grid_spec, bound=cfg.bound)
+    enc_x = _encode(x, params["encoder"], cfg.grid_spec, cfg.bound)
     if enc_a is None:
         ambient = jnp.zeros((*x.shape[:-1], cfg.ambient_dim), jnp.float32)
     else:
@@ -207,7 +225,7 @@ def _spatial_and_ambient(params, cfg: NetworkConfig, x, enc_a):
         h = jnp.concatenate([enc_x.astype(dt), a.astype(dt)], axis=-1)
         ambient = mlp_apply(params["ambient_net"], h, dt).astype(jnp.float32)
         ambient = jnp.tanh(ambient)  # [-1, 1]^amb_dim
-    enc_w = grid_encode(ambient, params["encoder_ambient"], cfg.ambient_spec, bound=1.0)
+    enc_w = _encode(ambient, params["encoder_ambient"], cfg.ambient_spec, 1.0)
     return enc_x, enc_w, ambient
 
 
@@ -276,7 +294,7 @@ def forward_torso(params, cfg: NetworkConfig, x, pose6, c=None):
     h = jnp.concatenate(parts, axis=-1)
     dx = mlp_apply(params["torso_deform_net"], h.astype(dt), dt).astype(jnp.float32)
     xp = jnp.clip(x + dx, -1.0, 1.0)
-    enc_t = grid_encode(xp, params["torso_encoder"], cfg.torso_spec, bound=1.0)
+    enc_t = _encode(xp, params["torso_encoder"], cfg.torso_spec, 1.0)
     h2 = jnp.concatenate([enc_t.astype(dt), h.astype(dt)], axis=-1)
     h2 = mlp_apply(params["torso_net"], h2, dt).astype(jnp.float32)
     alpha = jax.nn.sigmoid(h2[..., :1])

@@ -32,10 +32,12 @@ from ..ops import (
     composite_rays,
     march_rays,
     morton3d,
+    morton3d_invert,
     morton_dilate,
     near_far_from_aabb,
     packbits,
 )
+from ..ops.marching import pack_bitfield_rows
 from .network import (
     NetworkConfig,
     encode_audio,
@@ -66,6 +68,9 @@ class RenderConfig:
     # TPU: static field-eval buffer size as a multiple of the ray count
     sample_capacity_mult: int = 4
     march_iters: Optional[int] = None
+    # TPU: static capacity for occupied-bbox ray compaction, as a fraction of
+    # the ray count; >= 1.0 disables ray compaction (all rays marched).
+    ray_capacity_frac: float = 1.0
 
     @property
     def cascade(self) -> int:
@@ -115,11 +120,13 @@ class RendererState:
     mean_density_torso: jax.Array  # [] float32
     enc_a_smooth: jax.Array  # [1, audio_dim] smoothed audio code
     enc_a_initialized: jax.Array  # [] bool
+    occ_bbox: jax.Array  # [6] world-space bounds of occupied cells
 
     @staticmethod
     def create(cfg: RenderConfig, audio_dim: int = 64) -> "RendererState":
         H = cfg.grid_size
         cas = cfg.cascade
+        b = cfg.bound
         return RendererState(
             density_grid=jnp.zeros((cas, H**3), jnp.float32),
             density_bitfield=jnp.zeros((cas * H**3 // 8,), jnp.uint8),
@@ -128,7 +135,37 @@ class RendererState:
             mean_density_torso=jnp.zeros((), jnp.float32),
             enc_a_smooth=jnp.zeros((1, audio_dim), jnp.float32),
             enc_a_initialized=jnp.zeros((), jnp.bool_),
+            occ_bbox=jnp.asarray([-b, -b, -b, b, b, b], jnp.float32),
         )
+
+
+def compute_occ_bbox(cfg: RenderConfig, density_grid: jax.Array, thresh) -> jax.Array:
+    """World-space bounding box of occupied cells (union over cascades).
+
+    TPU-native acceleration structure: rays are clipped to this box before
+    marching so the static orbit length covers only the occupied region
+    instead of the whole AABB. Empty grid -> full box (safe fallback).
+    """
+    H = cfg.grid_size
+    _, indices, _ = _grid_points(cfg)
+    coords = morton3d_invert(jnp.arange(H**3, dtype=jnp.int32)).astype(jnp.float32)
+
+    lo = jnp.full((3,), jnp.inf)
+    hi = jnp.full((3,), -jnp.inf)
+    for cas in range(cfg.cascade):
+        mip_bound = min(2.0**cas, cfg.bound)
+        occ = density_grid[cas] > thresh  # morton order
+        big = jnp.where(occ[:, None], coords, jnp.inf)
+        small = jnp.where(occ[:, None], coords, -jnp.inf)
+        cmin = jnp.min(big, axis=0)
+        cmax = jnp.max(small, axis=0)
+        lo = jnp.minimum(lo, (2.0 * cmin / H - 1.0) * mip_bound)
+        hi = jnp.maximum(hi, (2.0 * (cmax + 1.0) / H - 1.0) * mip_bound)
+    any_occ = jnp.isfinite(lo).all()
+    b = cfg.bound
+    lo = jnp.where(any_occ, lo, jnp.asarray([-b, -b, -b]))
+    hi = jnp.where(any_occ, hi, jnp.asarray([b, b, b]))
+    return jnp.concatenate([lo, hi]).astype(jnp.float32)
 
 
 def bilinear_sample_2d(grid_flat: jax.Array, coords: jax.Array, H: int) -> jax.Array:
@@ -174,42 +211,68 @@ def smooth_audio_code(state: RendererState, enc_a: jax.Array, enabled: bool):
 
 
 def _eval_field_compacted(params, net_cfg, march, rays_d, enc_a, ind_code, eye, capacity):
-    """Evaluate the field on compacted valid samples only, scatter back dense.
+    """Evaluate the field on compacted valid samples only.
 
     The TPU analogue of evaluating only generated points (the reference's M
-    buffer): prefix-sum compaction -> [capacity] point batch -> field MLPs ->
-    scatter to the [N, S] lattice for compositing.
+    buffer, raymarching.cu:446 slot reservation + raymarching.py:224-229
+    mean_count sizing; overflow drops samples just like an underestimated
+    mean_count). Built entirely from scans and slab gathers — no per-sample
+    scatters:
+
+    - a ray's valid samples occupy its first count(n) lattice slots, so the
+      compacted buffer is per-ray CONTIGUOUS: buffer[base_n + s] = (n, s);
+    - the buffer->lattice map (r, s) comes from a cumsum/cummax over a base
+      marker (one small scatter of N rows);
+    - samples are fetched with one wide-row gather; results return to the
+      [N, S] lattice with one slab gather (lax.gather with slice_sizes) of N
+      rows, exploiting that TPU gather cost is per row, not per byte.
     """
     N, S = march["valid"].shape
-    gather_idx, gather_ok, scatter_pos, _ = compact_samples(march["valid"], capacity)
+    valid = march["valid"]
+    counts = jnp.sum(valid.astype(jnp.int32), axis=1)  # [N]
+    ends = jnp.cumsum(counts)
+    base = ends - counts  # exclusive prefix
 
-    xyz_flat = march["xyz"].reshape(N * S, 3)[gather_idx]
-    dirs_flat = jnp.repeat(rays_d[:, None, :], S, axis=1).reshape(N * S, 3)[gather_idx]
+    # buffer index -> (ray, slot)
+    marker = jnp.zeros((capacity,), jnp.int32).at[base].add(1, mode="drop")
+    r_of = jnp.cumsum(marker) - 1  # [capacity] ray id
+    iota = jnp.arange(capacity, dtype=jnp.int32)
+    seg_start = jax.lax.cummax(jnp.where(marker > 0, iota, -1))
+    s_of = iota - seg_start
+    in_range = (r_of >= 0) & (s_of < S)
+    flat_idx = jnp.where(in_range, r_of * S + jnp.clip(s_of, 0, S - 1), 0)
+
+    pts = jnp.concatenate(
+        [march["xyz"], jnp.broadcast_to(rays_d[:, None, :], march["xyz"].shape)],
+        axis=-1,
+    ).reshape(N * S, 6)[flat_idx]
+    xyz_flat, dirs_flat = pts[:, :3], pts[:, 3:]
 
     sigma_c, color_c, ambient_c = field_forward(
         params, net_cfg, xyz_flat, dirs_flat, enc_a, ind_code, eye
     )
-    sigma_c = jnp.where(gather_ok, sigma_c, 0.0)
+    amb_dim = ambient_c.shape[-1]
+    width = 1 + 3 + amb_dim
+    packed = jnp.concatenate([sigma_c[:, None], color_c, ambient_c], axis=-1)
+    packed = jnp.where(in_range[:, None], packed, 0.0)
+    # pad S rows so every slab read stays in bounds
+    packed = jnp.concatenate([packed, jnp.zeros((S, width))], axis=0)
 
-    # scatter compacted results back to the lattice
-    sigmas = jnp.zeros((N * S,), jnp.float32).at[gather_idx].set(
-        sigma_c, mode="drop"
+    # slab gather back: lattice[n, s] = packed[base_n + s]
+    dn = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,)
     )
-    colors = jnp.zeros((N * S, 3), jnp.float32).at[gather_idx].set(
-        jnp.where(gather_ok[:, None], color_c, 0.0), mode="drop"
-    )
-    ambients = jnp.zeros((N * S, ambient_c.shape[-1]), jnp.float32).at[gather_idx].set(
-        jnp.where(gather_ok[:, None], ambient_c, 0.0), mode="drop"
-    )
-    # samples dropped by capacity overflow must not contribute
-    kept = (scatter_pos < capacity).reshape(N * S)
-    sigmas = jnp.where(kept, sigmas, 0.0)
-    return (
-        sigmas.reshape(N, S),
-        colors.reshape(N, S, 3),
-        ambients.reshape(N, S, -1),
-        march["valid"] & kept.reshape(N, S),
-    )
+    back = jax.lax.gather(
+        packed,
+        jnp.clip(base, 0, capacity)[:, None],
+        dimension_numbers=dn,
+        slice_sizes=(S, width),
+        mode="clip",
+    )  # [N, S, width]
+
+    kept = valid & ((base[:, None] + jnp.arange(S)[None, :]) < capacity)
+    back = jnp.where(kept[..., None], back, 0.0)
+    return back[..., 0], back[..., 1:4], back[..., 4: 4 + amb_dim], kept
 
 
 def render_rays(
@@ -253,31 +316,88 @@ def render_rays(
         ind_code = None
 
     results = {}
+    bitrows = pack_bitfield_rows(state.density_bitfield)
 
-    march = march_rays(rays_o, rays_d, nears, fars, state.density_bitfield, mcfg, noises)
-    dirs = jnp.broadcast_to(rays_d[:, None, :], march["xyz"].shape)
+    # clip marching to the occupied-cell bounding box (pure math; bits
+    # outside it are guaranteed zero, so the skipped orbit points are
+    # exactly the reference's empty-space skips)
+    bb = state.occ_bbox
+    tb0 = (bb[:3] - rays_o) / rays_d
+    tb1 = (bb[3:] - rays_o) / rays_d
+    t_lo = jnp.maximum(jnp.max(jnp.minimum(tb0, tb1), axis=-1), nears)
+    t_hi = jnp.minimum(jnp.min(jnp.maximum(tb0, tb1), axis=-1), fars)
+    hit = t_lo < t_hi
 
-    if compact:
-        capacity = cfg.sample_capacity_mult * N
-        sigmas, colors, ambients, valid = _eval_field_compacted(
-            params, net_cfg, march, rays_d, enc_a, ind_code, eye, capacity
+    def run_head(o, d, nr, fr, lo, hi, nz):
+        march = march_rays(
+            o, d, nr, fr, state.density_bitfield, mcfg,
+            noises=nz, t_window=(lo, hi), bitrows=bitrows,
         )
+        if compact:
+            capacity = cfg.sample_capacity_mult * o.shape[0]
+            sig, col, amb, val = _eval_field_compacted(
+                params, net_cfg, march, d, enc_a, ind_code, eye, capacity
+            )
+        else:
+            dirs = jnp.broadcast_to(d[:, None, :], march["xyz"].shape)
+            sig, col, amb = field_forward(
+                params, net_cfg, march["xyz"], dirs, enc_a, ind_code, eye
+            )
+            val = march["valid"]
+        comp = composite_rays(
+            sig * cfg.density_scale, col, march["dt"], march["t"], val,
+            ambient=jnp.sum(jnp.abs(amb), axis=-1), T_thresh=cfg.T_thresh,
+        )
+        return comp
+
+    if cfg.ray_capacity_frac >= 1.0:
+        comp = run_head(rays_o, rays_d, nears, fars, t_lo, t_hi, noises)
+        weights_sum = jnp.where(hit, comp["weights_sum"], 0.0)
+        depth_raw = jnp.where(hit, comp["depth"], 0.0)
+        image = jnp.where(hit[:, None], comp["image"], 0.0)
+        ambient_sum = jnp.where(hit, comp["ambient_sum"], 0.0)
     else:
-        sigmas, colors, ambients = field_forward(
-            params, net_cfg, march["xyz"], dirs, enc_a, ind_code, eye
+        # ray compaction: march/evaluate only rays whose interval intersects
+        # the occupied bbox (the TPU analogue of the reference's alive-ray
+        # list, renderer.py:233-262), at a static capacity.
+        R = max(128, int(-(-N * cfg.ray_capacity_frac // 128)) * 128)
+        pos = jnp.cumsum(hit.astype(jnp.int32)) - 1
+        slot = jnp.where(hit & (pos < R), pos, R)
+        ray_idx = jnp.zeros((R,), jnp.int32).at[slot].set(
+            jnp.arange(N, dtype=jnp.int32), mode="drop"
         )
-        valid = march["valid"]
+        packed_rays = jnp.concatenate(
+            [
+                rays_o, rays_d, nears[:, None], fars[:, None],
+                t_lo[:, None], t_hi[:, None],
+                (noises if noises is not None else jnp.zeros_like(nears))[:, None],
+                hit[:, None].astype(jnp.float32),
+            ],
+            axis=-1,
+        )[ray_idx]  # [R, 12]
+        c_hit = packed_rays[:, 11] > 0
+        comp_c = run_head(
+            packed_rays[:, 0:3], packed_rays[:, 3:6], packed_rays[:, 6],
+            packed_rays[:, 7], packed_rays[:, 8], packed_rays[:, 9],
+            packed_rays[:, 10] if noises is not None else None,
+        )
+        out_c = jnp.concatenate(
+            [
+                comp_c["image"], comp_c["depth"][:, None],
+                comp_c["weights_sum"][:, None], comp_c["ambient_sum"][:, None],
+            ],
+            axis=-1,
+        )
+        out_c = jnp.where(c_hit[:, None], out_c, 0.0)
+        out_c = jnp.concatenate([out_c, jnp.zeros((1, 6))], axis=0)
+        back = out_c[jnp.where(hit & (pos < R), pos, R)]  # [N, 6]
+        image = back[:, 0:3]
+        depth_raw = back[:, 3]
+        weights_sum = back[:, 4]
+        ambient_sum = back[:, 5]
 
-    sigmas = sigmas * cfg.density_scale
-    amb_abs = jnp.sum(jnp.abs(ambients), axis=-1)
-
-    comp = composite_rays(
-        sigmas, colors, march["dt"], march["t"], valid,
-        ambient=amb_abs, T_thresh=cfg.T_thresh,
-    )
-    weights_sum = comp["weights_sum"]
-    depth_raw = comp["depth"]
-    image = comp["image"]
+    comp = {"weights_sum": weights_sum, "depth": depth_raw,
+            "image": image, "ambient_sum": ambient_sum}
 
     if training:
         results["weights_sum"] = weights_sum
@@ -378,7 +498,10 @@ def update_density_grid(
     thresh = jnp.minimum(mean_density, cfg.density_thresh)
     bitfield = packbits(new_grid, thresh)
     return state.replace(
-        density_grid=new_grid, density_bitfield=bitfield, mean_density=mean_density
+        density_grid=new_grid,
+        density_bitfield=bitfield,
+        mean_density=mean_density,
+        occ_bbox=compute_occ_bbox(cfg, new_grid, thresh),
     )
 
 

@@ -2,7 +2,15 @@
 
 from .activation import trunc_exp
 from .freq_encode import freq_encode, freq_output_dim
-from .grid_encode import GridSpec, grid_encode, grid_encode01, grid_total_variation
+from .grid_encode import (
+    GridSpec,
+    build_packed_table,
+    grid_encode,
+    grid_encode01,
+    grid_encode01_packed,
+    grid_encode_packed,
+    grid_total_variation,
+)
 from .marching import (
     MarchConfig,
     compact_samples,
@@ -19,8 +27,11 @@ __all__ = [
     "freq_encode",
     "freq_output_dim",
     "GridSpec",
+    "build_packed_table",
     "grid_encode",
     "grid_encode01",
+    "grid_encode01_packed",
+    "grid_encode_packed",
     "grid_total_variation",
     "MarchConfig",
     "compact_samples",

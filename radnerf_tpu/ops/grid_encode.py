@@ -212,6 +212,123 @@ def grid_encode(
     return grid_encode01(x01, embeddings, spec)
 
 
+def _active_strides(spec: GridSpec, level: int) -> list[int]:
+    """Per-dim index strides with the CUDA inclusion rule (a dim stops
+    contributing once the running stride exceeds the level's table size,
+    gridencoder.cu:71-75)."""
+    offs = spec.offsets
+    hashmap_size = offs[level + 1] - offs[level]
+    resolution = spec.level_resolution(level)
+    n = resolution if spec.align_corners else resolution + 1
+    strides = []
+    stride = 1
+    for _ in range(spec.input_dim):
+        strides.append(stride if stride <= hashmap_size else 0)
+        stride = (stride * n) % _U32
+    return strides
+
+
+def build_packed_table(embeddings: jax.Array, spec: GridSpec) -> jax.Array:
+    """Corner-packed table: one row per cell key holding all 2^D corner
+    features.
+
+    TPU-native design note: XLA/TPU gather cost is per ROW (width up to ~32
+    floats is free), so fetching a trilinear cell as one wide row instead of
+    2^D separate rows is a 2^D-fold reduction in gather work — the dominant
+    cost of grid encoding on TPU. This exploits a property of TILED grids
+    (gridtype='tiled', the only kind RAD-NeRF uses, network.py:133-134,165):
+    the vertex index is additive mod T in the cell coordinates
+    (index = (sum_d coord_d * stride_d) % T, gridencoder.cu:66-84, with no
+    uint32 wrap for these table sizes), so corner c of the cell with key k
+    lives at (k + delta_c) % T with a FIXED per-level offset delta_c — i.e.
+    the packed table is just 2^D circular rolls of the vertex table,
+    concatenated. Rolls are cheap, bandwidth-bound, and differentiable, so
+    the packing is rebuilt inside the train step and gradients flow back to
+    the canonical table automatically.
+
+    Returns [n_embeddings, 2^D * C]: rows of level ℓ occupy the same offset
+    range as in the flat table; row k(+offset) = concat_c V[(k + delta_c^l) % T_l].
+    """
+    if spec.gridtype != "tiled":
+        raise ValueError("corner packing requires a tiled grid (hash indices are not additive)")
+    D = spec.input_dim
+    offs = spec.offsets
+    per_level = []
+    for level in range(spec.num_levels):
+        seg = embeddings[offs[level]: offs[level + 1]]
+        strides = _active_strides(spec, level)
+        corners = []
+        for corner in range(1 << D):
+            delta = sum(strides[d] for d in range(D) if (corner >> d) & 1)
+            corners.append(jnp.roll(seg, -delta % seg.shape[0], axis=0))
+        per_level.append(jnp.concatenate(corners, axis=-1))
+    return jnp.concatenate(per_level, axis=0)
+
+
+def grid_encode01_packed(
+    inputs01: jax.Array, packed: jax.Array, spec: GridSpec
+) -> jax.Array:
+    """Encode via the corner-packed table: ONE gather row per (point, level).
+
+    Numerically identical to grid_encode01 for tiled grids (same fp32
+    position math, same index rule, same OOB-to-zero behavior).
+    """
+    D = spec.input_dim
+    C = spec.level_dim
+    n_corners = 1 << D
+    x = inputs01.astype(jnp.float32)
+    oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1, keepdims=True)
+
+    level_outputs = []
+    for level in range(spec.num_levels):
+        offs = spec.offsets
+        hashmap_size = offs[level + 1] - offs[level]
+        scale = spec.level_scale(level)
+        shift = 0.0 if spec.align_corners else 0.5
+        pos = x * scale + shift
+        pos_grid = jnp.floor(pos)
+        frac = pos - jax.lax.stop_gradient(pos_grid)
+        if spec.interpolation == "smoothstep":
+            frac = frac * frac * (3.0 - 2.0 * frac)
+        pg = jax.lax.stop_gradient(pos_grid).astype(jnp.uint32)
+
+        strides = _active_strides(spec, level)
+        key = jnp.zeros(x.shape[:-1], dtype=jnp.uint32)
+        for d in range(D):
+            if strides[d]:
+                key = key + pg[..., d] * jnp.uint32(strides[d])
+        key = key % jnp.uint32(hashmap_size)
+
+        rows = jnp.take(
+            packed, (key + jnp.uint32(offs[level])).astype(jnp.int32), axis=0
+        )  # [..., 2^D * C]
+        rows = rows.reshape(*rows.shape[:-1], n_corners, C)
+
+        # trilinear weights, corner-major to match packing order
+        w = jnp.ones((*x.shape[:-1], 1), jnp.float32)
+        for corner_bit in range(D):
+            f = frac[..., corner_bit]
+            pair = jnp.stack([1.0 - f, f], axis=-1)  # [..., 2]
+            if corner_bit == 0:
+                w = pair
+            else:
+                w = (w[..., None, :] * pair[..., :, None]).reshape(
+                    *x.shape[:-1], -1
+                )
+        # w is ordered with corner_bit0 fastest: w[..., c] matches corner c
+        out = jnp.sum(w[..., None] * rows, axis=-2)
+        level_outputs.append(jnp.where(oob, 0.0, out))
+
+    return jnp.concatenate(level_outputs, axis=-1)
+
+
+def grid_encode_packed(
+    inputs: jax.Array, packed: jax.Array, spec: GridSpec, bound: float = 1.0
+) -> jax.Array:
+    x01 = (inputs + bound) / (2.0 * bound)
+    return grid_encode01_packed(x01, packed, spec)
+
+
 def grid_total_variation(
     inputs01: jax.Array, embeddings: jax.Array, spec: GridSpec, weight: float = 1e-7
 ) -> jax.Array:

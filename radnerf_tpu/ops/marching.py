@@ -148,6 +148,69 @@ def occupancy_lookup(
     return ((byte >> (index & 7).astype(jnp.uint8)) & 1).astype(jnp.bool_)
 
 
+def _select_first_s(ts, dts, occ, S):
+    """Compact the first S occupied orbit points into [N, S] slots.
+
+    TPU note: implemented as a tiny batched one-hot contraction (VPU/MXU
+    friendly) rather than a scatter — XLA/TPU scatters cost ~20ns/row while
+    this contraction is pure dense math.
+    """
+    rank = jnp.cumsum(occ.astype(jnp.int32), axis=1)
+    keep = occ & (rank <= S)
+    slot = jnp.where(keep, rank - 1, S)  # S = "dropped"
+    oh = (slot[..., None] == jnp.arange(S)[None, None, :]).astype(jnp.float32)
+    t_out = jnp.einsum("nk,nks->ns", ts, oh)
+    dt_out = jnp.einsum("nk,nks->ns", dts, oh)
+    valid = jnp.any(slot[..., None] == jnp.arange(S)[None, None, :], axis=1)
+    return t_out, dt_out, valid
+
+
+def occupancy_lookup_wide(
+    xyz: jnp.ndarray, dt: jnp.ndarray, bitrows: jnp.ndarray, cfg: MarchConfig
+) -> jnp.ndarray:
+    """Occupancy test via WIDE row fetches.
+
+    TPU note: XLA/TPU gather cost is per row with width up to ~128 bytes
+    free, so the bitfield is pre-viewed as [rows, 4] uint32 (one row = 128
+    Morton-consecutive cells) and the byte/bit extraction happens as dense
+    VPU math on the fetched row — 1/1 gather per point instead of XLA's
+    1-byte rows, and ~3x cheaper rows than W=1 gathers.
+
+    bitrows: uint32 [cascade*H^3/128, 4] (see pack_bitfield_rows).
+    """
+    H = cfg.grid_size
+    if cfg.cascade == 1:
+        level = jnp.zeros(xyz.shape[:-1], jnp.int32)
+        mip_bound = jnp.float32(min(1.0, cfg.bound))
+    else:
+        level = _mip_level(xyz, dt, cfg)
+        mip_bound = jnp.minimum(jnp.exp2(level.astype(jnp.float32)), cfg.bound)
+
+    nxyz = jnp.clip(
+        jnp.floor(0.5 * (xyz / mip_bound[..., None] + 1.0) * H), 0.0, H - 1
+    ).astype(jnp.int32)
+    index = level * (H * H * H) + morton3d(nxyz)
+
+    row = jnp.take(bitrows, index >> 7, axis=0)  # [..., 4] uint32 = 128 cells
+    word_sel = (index >> 5) & 3
+    word = jnp.sum(
+        jnp.where(
+            word_sel[..., None] == jnp.arange(4, dtype=jnp.int32), row, jnp.uint32(0)
+        ),
+        axis=-1,
+        dtype=jnp.uint32,
+    )
+    return ((word >> (index & 31).astype(jnp.uint32)) & 1).astype(jnp.bool_)
+
+
+def pack_bitfield_rows(bitfield: jnp.ndarray) -> jnp.ndarray:
+    """uint8 bitfield [B] -> uint32 row view [B//16, 4] (little-endian bytes,
+    so bit k of the packed uint32 row covers cell (row*128 + word*32 + k))."""
+    b = bitfield.reshape(-1, 4, 4).astype(jnp.uint32)
+    shifts = jnp.arange(4, dtype=jnp.uint32) * 8
+    return jnp.sum(b << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
 def march_rays(
     rays_o: jnp.ndarray,
     rays_d: jnp.ndarray,
@@ -156,6 +219,8 @@ def march_rays(
     bitfield: jnp.ndarray,
     cfg: MarchConfig,
     noises: jnp.ndarray | None = None,
+    t_window: tuple | None = None,
+    bitrows: jnp.ndarray | None = None,
 ):
     """Fixed-lattice batched marcher.
 
@@ -166,6 +231,14 @@ def march_rays(
       cfg: static MarchConfig.
       noises: optional [N] U[0,1) perturbation (reference
         raymarching.py:239-242; t0 += dt(t0) * noise).
+      t_window: optional ([N] t_lo, [N] t_hi) restriction of the marched
+        interval (e.g. the ray's intersection with the occupied-cell bounding
+        box). The orbit ORIGIN stays at the perturbed near so sample
+        positions stay on the reference lattice; the window only skips
+        guaranteed-empty orbit points. When set, cfg.march_iters bounds the
+        windowed span instead of the full AABB span.
+      bitrows: optional packed row view (pack_bitfield_rows(bitfield));
+        computed on the fly if absent.
 
     Returns dict with static shapes (S = cfg.max_steps):
       t:     [N, S] sample distance (0 where invalid).
@@ -175,33 +248,55 @@ def march_rays(
     """
     N = rays_o.shape[0]
     S = cfg.max_steps
+    K = cfg.n_march_iters
 
     t0 = nears
     if noises is not None:
         t0 = t0 + _clamp_dt(t0, cfg) * noises
 
-    ts, dts = _orbit(t0, cfg)  # [N, K]
+    affine = cfg.dt_gamma == 0.0 or cfg.dt_min == cfg.dt_max
+    if affine:
+        # dt == dt_min everywhere (always true for the reference config:
+        # max_steps=16, H=128 gives dt_min == dt_max == 2*sqrt(3)/128, so
+        # clamp(t*dt_gamma, dt_min, dt_max) is constant). Orbit is affine:
+        # t_k = t0 + k*dt, enabling windowed marching with a per-ray integer
+        # lattice offset.
+        dt = cfg.dt_min
+        if t_window is not None:
+            t_lo, t_hi = t_window
+            k0 = jnp.clip(jnp.floor((t_lo - t0) / dt), 0.0, None)
+        else:
+            t_hi = fars
+            k0 = jnp.zeros_like(t0)
+        k = k0[:, None] + jnp.arange(K, dtype=jnp.float32)[None, :]
+        ts = t0[:, None] + k * dt
+        dts = jnp.full_like(ts, dt)
+        t_end = jnp.minimum(fars, t_hi if t_window is not None else fars)
+    else:
+        ts, dts = _orbit(t0, cfg)  # [N, K] general recurrence
+        t_end = fars
+        if t_window is not None:
+            t_end = jnp.minimum(fars, t_window[1])
+
     xyz = jnp.clip(
         rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :], -cfg.bound, cfg.bound
     )
-    occ = occupancy_lookup(xyz, dts, bitfield, cfg)
-    occ = occ & (ts < fars[:, None])
+    if bitrows is None:
+        bitrows = pack_bitfield_rows(bitfield)
+    occ = occupancy_lookup_wide(xyz, dts, bitrows, cfg)
+    occ = occ & (ts < t_end[:, None])
 
-    # rank occupied orbit points; keep the first S per ray
-    rank = jnp.cumsum(occ.astype(jnp.int32), axis=1)
-    keep = occ & (rank <= S)
-    slot = jnp.where(keep, rank - 1, S)  # S = out of range -> dropped
-    rows = jnp.broadcast_to(jnp.arange(N)[:, None], slot.shape)
-
-    t_out = jnp.zeros((N, S), jnp.float32).at[rows, slot].set(ts, mode="drop")
-    dt_out = jnp.zeros((N, S), jnp.float32).at[rows, slot].set(dts, mode="drop")
-    valid = jnp.zeros((N, S), jnp.bool_).at[rows, slot].set(keep, mode="drop")
-
+    t_out, dt_out, valid = _select_first_s(ts, dts, occ, S)
     xyz_out = jnp.clip(
         rays_o[:, None, :] + t_out[..., None] * rays_d[:, None, :], -cfg.bound, cfg.bound
     )
     xyz_out = jnp.where(valid[..., None], xyz_out, 0.0)
-    return {"t": t_out, "dt": dt_out, "valid": valid, "xyz": xyz_out}
+    return {
+        "t": jnp.where(valid, t_out, 0.0),
+        "dt": jnp.where(valid, dt_out, 0.0),
+        "valid": valid,
+        "xyz": xyz_out,
+    }
 
 
 def composite_rays(

@@ -606,6 +606,14 @@ class Trainer:
                 meta.get("mean_density_torso", 0.0), jnp.float32
             ),
         )
+        # rebuild the occupied-cell bbox acceleration structure
+        if "density_grid" in arrays:
+            from ..models.renderer import compute_occ_bbox
+
+            thresh = jnp.minimum(st.mean_density, self.render_cfg.density_thresh)
+            st = st.replace(
+                occ_bbox=compute_occ_bbox(self.render_cfg, st.density_grid, thresh)
+            )
         self.state = st
 
     # freeze head keys after importing a head checkpoint for the torso stage

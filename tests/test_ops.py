@@ -109,6 +109,41 @@ def test_grid_encode_grads():
         np.testing.assert_allclose(float(jnp.sum(g_x[:, d])), float(fd), rtol=0.2, atol=1e-2)
 
 
+@pytest.mark.parametrize("input_dim", [2, 3])
+def test_grid_encode_packed_matches_unpacked(input_dim):
+    from radnerf_tpu.ops import build_packed_table, grid_encode01_packed
+
+    spec = GridSpec.create(
+        input_dim=input_dim, num_levels=16, level_dim=2, base_resolution=16,
+        log2_hashmap_size=16, desired_resolution=2048, gridtype="tiled",
+    )
+    rng = np.random.default_rng(3)
+    emb = jnp.asarray(rng.normal(size=(spec.n_embeddings, spec.level_dim)), jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 1, (128, input_dim)), jnp.float32)
+    x = x.at[0].set(0.0).at[1].set(1.0).at[2, 0].set(1.3)  # edges + OOB
+
+    want = grid_encode01(x, emb, spec)
+    packed = build_packed_table(emb, spec)
+    got = grid_encode01_packed(x, packed, spec)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+    # gradients agree too (the packed path autodiffs through the rolls)
+    def loss_u(e):
+        return jnp.sum(grid_encode01(x, e, spec) ** 2)
+
+    def loss_p(e):
+        return jnp.sum(grid_encode01_packed(x, build_packed_table(e, spec), spec) ** 2)
+
+    gu = jax.grad(loss_u)(emb)
+    gp = jax.grad(loss_p)(emb)
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gu), rtol=1e-4, atol=1e-6)
+
+    # input grads agree (needed by the torso deform branch)
+    giu = jax.grad(lambda v: jnp.sum(grid_encode01(v, emb, spec)))(x)
+    gip = jax.grad(lambda v: jnp.sum(grid_encode01_packed(v, packed, spec)))(x)
+    np.testing.assert_allclose(np.asarray(gip), np.asarray(giu), rtol=3e-4, atol=1e-6)
+
+
 def test_sh_encode_basic():
     d = np.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.577, 0.577, 0.577]], np.float32)
     out = np.asarray(sh_encode(jnp.asarray(d), degree=4))
