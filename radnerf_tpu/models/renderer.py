@@ -258,16 +258,12 @@ def _eval_field_compacted(params, net_cfg, march, rays_d, enc_a, ind_code, eye, 
     # pad S rows so every slab read stays in bounds
     packed = jnp.concatenate([packed, jnp.zeros((S, width))], axis=0)
 
-    # slab gather back: lattice[n, s] = packed[base_n + s]
-    dn = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1, 2), collapsed_slice_dims=(), start_index_map=(0,)
-    )
-    back = jax.lax.gather(
-        packed,
-        jnp.clip(base, 0, capacity)[:, None],
-        dimension_numbers=dn,
-        slice_sizes=(S, width),
-        mode="clip",
+    # slab gather back: lattice[n, s] = packed[base_n + s]. Expressed as S
+    # plain row gathers of N rows each (XLA/TPU lowers slice_sizes gathers
+    # to a per-element path ~25x slower than row gathers).
+    base_c = jnp.clip(base, 0, capacity)
+    back = jnp.stack(
+        [packed[base_c + s] for s in range(S)], axis=1
     )  # [N, S, width]
 
     kept = valid & ((base[:, None] + jnp.arange(S)[None, :]) < capacity)

@@ -1,0 +1,97 @@
+"""Tests for the streaming ASR pipeline and the interactive app layer."""
+
+import numpy as np
+import pytest
+
+from radnerf_tpu.apps.asr import StreamingASR, unfold_features
+from radnerf_tpu.apps.frame_server import OrbitCamera
+from radnerf_tpu.config import Options
+
+
+class _Opt(Options):
+    pass
+
+
+def _fake_logits_fn(audio_dim=44):
+    """Deterministic CTC stand-in: one logit frame per 20ms chunk (approx
+    wav2vec's 49 Hz rate), value = chunk mean broadcast."""
+
+    def fn(frame: np.ndarray) -> np.ndarray:
+        n = len(frame) // 320
+        vals = frame[: n * 320].reshape(n, 320).mean(-1)
+        return np.tile(vals[:, None], (1, audio_dim)).astype(np.float32)
+
+    return fn
+
+
+@pytest.fixture
+def wav_file(tmp_path):
+    from scipy.io import wavfile
+
+    sr = 16000
+    t = np.arange(sr * 3) / sr  # 3 seconds
+    wave = (0.3 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    path = str(tmp_path / "test.wav")
+    wavfile.write(path, sr, (wave * 32767).astype(np.int16))
+    return path
+
+
+def test_streaming_asr_file_mode(wav_file):
+    opt = Options(asr_wav=wav_file, m=10, l=2, r=2)
+    asr = StreamingASR(opt, logits_fn=_fake_logits_fn())
+    # warm up fills the feature queue
+    for _ in range(asr.warm_up_steps):
+        asr.run_step()
+    feat = asr.get_next_feat()
+    assert feat.shape == (8, 44, 16)
+    # continued stepping keeps producing windows, advancing 2 frames each
+    for _ in range(2):
+        asr.run_step()
+    feat2 = asr.get_next_feat()
+    assert feat2.shape == (8, 44, 16)
+    # windows slide: 7 of 8 attention frames are shared
+    np.testing.assert_allclose(feat[1:], feat2[:-1])
+
+
+def test_streaming_asr_runs_to_termination(wav_file, tmp_path):
+    opt = Options(asr_wav=wav_file, m=10, l=2, r=2, asr_save_feats=True)
+    asr = StreamingASR(opt, logits_fn=_fake_logits_fn())
+    asr.run()
+    assert asr.terminated
+    out = wav_file.replace(".wav", "_eo.npy")
+    import os
+
+    assert os.path.exists(out)
+    feats = np.load(out)
+    assert feats.ndim == 3 and feats.shape[1] == 16 and feats.shape[2] == 44
+
+
+def test_unfold_features():
+    feats = np.arange(20, dtype=np.float32)[:, None].repeat(3, 1)  # [20, 3]
+    out = unfold_features(feats, window_size=16, stride=2)
+    assert out.shape[1:] == (16, 3)
+    # window 0 starts at -8 (zero pad): first 8 entries zero, then 0..7
+    assert (out[0, :8] == 0).all()
+    np.testing.assert_allclose(out[0, 8:, 0], np.arange(8))
+    # stride 2: window 1 starts at -6
+    assert (out[1, :6] == 0).all()
+    np.testing.assert_allclose(out[1, 6:, 0], np.arange(10))
+
+
+def test_orbit_camera():
+    cam = OrbitCamera(450, 450, r=3.35, fovy=21.24)
+    pose = cam.pose
+    assert pose.shape == (4, 4)
+    np.testing.assert_allclose(np.linalg.norm(pose[:3, 3]), 3.35, rtol=1e-5)
+    cam.orbit(100, 50)
+    cam.scale(1)
+    cam.pan(10, -5)
+    pose2 = cam.pose
+    assert not np.allclose(pose, pose2)
+    # update_pose round trip preserves radius
+    cam.update_pose(pose2)
+    np.testing.assert_allclose(cam.radius, np.linalg.norm(pose2[:3, 3]), rtol=1e-5)
+    # intrinsics <-> fovy round trip
+    intr = cam.intrinsics
+    cam.update_intrinsics(intr)
+    np.testing.assert_allclose(cam.intrinsics, intr, rtol=1e-5)
