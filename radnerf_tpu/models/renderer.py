@@ -37,7 +37,7 @@ from ..ops import (
     near_far_from_aabb,
     packbits,
 )
-from ..ops.marching import pack_bitfield_rows
+from ..ops.marching import build_sigma_bytes, pack_bitfield_rows, pack_sigma_byte_rows
 from .network import (
     NetworkConfig,
     encode_audio,
@@ -71,6 +71,11 @@ class RenderConfig:
     # TPU: static capacity for occupied-bbox ray compaction, as a fraction of
     # the ray count; >= 1.0 disables ray compaction (all rays marched).
     ray_capacity_frac: float = 1.0
+    # TPU: density-prior sample culling (see ops.marching.march_rays): drop
+    # selected samples whose conservative transmittance bound from the EMA
+    # density grid is already < cull_T (<< T_thresh, so the compositor's
+    # early-termination chain would never process them). 0 disables.
+    cull_T: float = 1e-6
 
     @property
     def cascade(self) -> int:
@@ -121,6 +126,7 @@ class RendererState:
     enc_a_smooth: jax.Array  # [1, audio_dim] smoothed audio code
     enc_a_initialized: jax.Array  # [] bool
     occ_bbox: jax.Array  # [6] world-space bounds of occupied cells
+    sigma_bytes: jax.Array  # [cascade*H^3] uint8 occ|log-sigma byte field
 
     @staticmethod
     def create(cfg: RenderConfig, audio_dim: int = 64) -> "RendererState":
@@ -136,6 +142,7 @@ class RendererState:
             enc_a_smooth=jnp.zeros((1, audio_dim), jnp.float32),
             enc_a_initialized=jnp.zeros((), jnp.bool_),
             occ_bbox=jnp.asarray([-b, -b, -b, b, b, b], jnp.float32),
+            sigma_bytes=jnp.zeros((cas * H**3,), jnp.uint8),
         )
 
 
@@ -312,7 +319,7 @@ def render_rays(
         ind_code = None
 
     results = {}
-    bitrows = pack_bitfield_rows(state.density_bitfield)
+    sigma_rows = pack_sigma_byte_rows(state.sigma_bytes)
 
     # clip marching to the occupied-cell bounding box (pure math; bits
     # outside it are guaranteed zero, so the skipped orbit points are
@@ -327,7 +334,8 @@ def render_rays(
     def run_head(o, d, nr, fr, lo, hi, nz):
         march = march_rays(
             o, d, nr, fr, state.density_bitfield, mcfg,
-            noises=nz, t_window=(lo, hi), bitrows=bitrows,
+            noises=nz, t_window=(lo, hi), sigma_rows=sigma_rows,
+            cull_T=cfg.cull_T,
         )
         if compact:
             capacity = cfg.sample_capacity_mult * o.shape[0]
@@ -411,14 +419,35 @@ def render_rays(
         occupancy = bilinear_sample_2d(state.density_grid_torso, bg_coords, cfg.grid_size)
         mask = occupancy > thresh_t
 
-        # evaluate the (tiny) torso MLPs on all pixels, mask the result —
-        # masked-out pixels get alpha 0 either way (see SURVEY.md §7).
-        t_alpha, t_color, deform = forward_torso(
-            params, net_cfg, bg_coords, pose6, ind_code_torso
-        )
-        t_alpha = jnp.where(mask[..., None], t_alpha, 0.0)
-        t_color = jnp.where(mask[..., None], t_color, 0.0)
-        results["deform"] = deform
+        if cfg.ray_capacity_frac >= 1.0:
+            # evaluate the (tiny) torso MLPs on all pixels, mask the result —
+            # masked-out pixels get alpha 0 either way (see SURVEY.md §7).
+            t_alpha, t_color, deform = forward_torso(
+                params, net_cfg, bg_coords, pose6, ind_code_torso
+            )
+            t_alpha = jnp.where(mask[..., None], t_alpha, 0.0)
+            t_color = jnp.where(mask[..., None], t_color, 0.0)
+            results["deform"] = deform
+        else:
+            # compact masked pixels (the reference's masked torso query,
+            # renderer.py:285-293) at a static capacity
+            Rt = max(128, int(-(-N * cfg.ray_capacity_frac // 128)) * 128)
+            pos_t = jnp.cumsum(mask.astype(jnp.int32)) - 1
+            ok_t = mask & (pos_t < Rt)
+            slot_t = jnp.where(ok_t, pos_t, Rt)
+            pix_idx = jnp.zeros((Rt,), jnp.int32).at[slot_t].set(
+                jnp.arange(N, dtype=jnp.int32), mode="drop"
+            )
+            coords_c = bg_coords[pix_idx]
+            a_c, c_c, deform = forward_torso(
+                params, net_cfg, coords_c, pose6, ind_code_torso
+            )
+            packed_t = jnp.concatenate([a_c, c_c], axis=-1)
+            packed_t = jnp.concatenate([packed_t, jnp.zeros((1, 4))], axis=0)
+            back_t = packed_t[slot_t]  # [N, 4]; misses hit the zero row
+            t_alpha = back_t[:, :1]
+            t_color = back_t[:, 1:4]
+            results["deform"] = deform
 
         bg_color = t_color * t_alpha + bg_color * (1.0 - t_alpha)
         results["torso_alpha"] = t_alpha
@@ -498,6 +527,7 @@ def update_density_grid(
         density_bitfield=bitfield,
         mean_density=mean_density,
         occ_bbox=compute_occ_bbox(cfg, new_grid, thresh),
+        sigma_bytes=build_sigma_bytes(new_grid, thresh),
     )
 
 

@@ -203,6 +203,72 @@ def occupancy_lookup_wide(
     return ((word >> (index & 31).astype(jnp.uint32)) & 1).astype(jnp.bool_)
 
 
+def build_sigma_bytes(density_grid: jnp.ndarray, thresh) -> jnp.ndarray:
+    """Combined occupancy + density-estimate byte field.
+
+    One byte per Morton cell: bit 7 = occupied (grid > thresh, the packbits
+    rule), bits 0-6 = quantized floor(4*log2(sigma)) + 40 (sigma_lo covers
+    2^-10 .. 2^21 in 2^(1/4) steps; 0 = empty/untrained). The marcher fetches
+    ONE wide row per orbit point and gets both the skip decision and the
+    conservative density bound for transmittance culling.
+    """
+    grid = density_grid.reshape(-1)
+    occ = grid > thresh
+    q = jnp.clip(
+        jnp.floor(4.0 * jnp.log2(jnp.maximum(grid, 1e-30))) + 40.0, 1.0, 127.0
+    ).astype(jnp.uint8)
+    return jnp.where(occ, q | jnp.uint8(128), jnp.uint8(0))
+
+
+def _dequant_sigma(q: jnp.ndarray) -> jnp.ndarray:
+    """Lower-bound dequantization of build_sigma_bytes' 7-bit code."""
+    s = jnp.exp2((q.astype(jnp.float32) - 40.0) * 0.25)
+    return jnp.where(q > 0, s, 0.0)
+
+
+def pack_sigma_byte_rows(sigma_bytes: jnp.ndarray) -> jnp.ndarray:
+    """uint8 byte field [cas*H^3] -> uint32 row view [cas*H^3/32, 8]
+    (one row = 32 Morton-consecutive cells, little-endian bytes)."""
+    b = sigma_bytes.reshape(-1, 8, 4).astype(jnp.uint32)
+    shifts = jnp.arange(4, dtype=jnp.uint32) * 8
+    return jnp.sum(b << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+
+
+def sigma_byte_lookup(
+    xyz: jnp.ndarray, dt: jnp.ndarray, sigma_rows: jnp.ndarray, cfg: MarchConfig
+):
+    """Fetch (occupied, sigma_lower_bound) for points xyz [..., 3].
+
+    sigma_rows: uint32 [cas*H^3/32, 8] from pack_sigma_byte_rows. One wide
+    row gather per point; byte extraction is dense VPU math.
+    """
+    H = cfg.grid_size
+    if cfg.cascade == 1:
+        level = jnp.zeros(xyz.shape[:-1], jnp.int32)
+        mip_bound = jnp.float32(min(1.0, cfg.bound))
+    else:
+        level = _mip_level(xyz, dt, cfg)
+        mip_bound = jnp.minimum(jnp.exp2(level.astype(jnp.float32)), cfg.bound)
+    nxyz = jnp.clip(
+        jnp.floor(0.5 * (xyz / mip_bound[..., None] + 1.0) * H), 0.0, H - 1
+    ).astype(jnp.int32)
+    cell = level * (H * H * H) + morton3d(nxyz)
+
+    row = jnp.take(sigma_rows, cell >> 5, axis=0)  # [..., 8] uint32 = 32 cells
+    word_sel = (cell >> 2) & 7
+    word = jnp.sum(
+        jnp.where(
+            word_sel[..., None] == jnp.arange(8, dtype=jnp.int32), row, jnp.uint32(0)
+        ),
+        axis=-1,
+        dtype=jnp.uint32,
+    )
+    byte = (word >> ((cell & 3).astype(jnp.uint32) * 8)) & 255
+    occ = (byte & 128) > 0
+    sigma_lo = _dequant_sigma(byte & 127)
+    return occ, sigma_lo
+
+
 def pack_bitfield_rows(bitfield: jnp.ndarray) -> jnp.ndarray:
     """uint8 bitfield [B] -> uint32 row view [B//16, 4] (little-endian bytes,
     so bit k of the packed uint32 row covers cell (row*128 + word*32 + k))."""
@@ -221,6 +287,10 @@ def march_rays(
     noises: jnp.ndarray | None = None,
     t_window: tuple | None = None,
     bitrows: jnp.ndarray | None = None,
+    sigma_grid: jnp.ndarray | None = None,
+    sigma_rows: jnp.ndarray | None = None,
+    cull_T: float = 0.0,
+    cull_safety: float = 0.5,
 ):
     """Fixed-lattice batched marcher.
 
@@ -239,6 +309,16 @@ def march_rays(
         windowed span instead of the full AABB span.
       bitrows: optional packed row view (pack_bitfield_rows(bitfield));
         computed on the fly if absent.
+      sigma_grid: optional [cascade*H^3] float32 density grid (Morton order,
+        the EMA density estimate the bitfield was packed from). When given
+        with cull_T > 0, enables density-prior sample culling: selected
+        samples whose CONSERVATIVE transmittance bound (0.25x the grid
+        estimate, clipped >= 0) has already fallen below cull_T are dropped.
+        With cull_T << T_thresh (default 1e-6 vs 1e-4) the dropped samples
+        are ones the compositor's early-termination chain
+        (raymarching.cu:662-665) would never process, so outputs match while
+        the field-evaluation budget shrinks to the surface thickness.
+      cull_T: transmittance bound for the prior cull (0 disables).
 
     Returns dict with static shapes (S = cfg.max_steps):
       t:     [N, S] sample distance (0 where invalid).
@@ -281,15 +361,46 @@ def march_rays(
     xyz = jnp.clip(
         rays_o[:, None, :] + ts[..., None] * rays_d[:, None, :], -cfg.bound, cfg.bound
     )
-    if bitrows is None:
-        bitrows = pack_bitfield_rows(bitfield)
-    occ = occupancy_lookup_wide(xyz, dts, bitrows, cfg)
-    occ = occ & (ts < t_end[:, None])
+    if sigma_rows is not None:
+        # one fetch serves both the skip decision and the density bound
+        occ, sig_lo = sigma_byte_lookup(xyz, dts, sigma_rows, cfg)
+        occ = occ & (ts < t_end[:, None])
+        if cull_T > 0.0:
+            est = jnp.where(occ, sig_lo * dts * cull_safety, 0.0)
+            cum_prev = jnp.cumsum(est, axis=1) - est
+            occ = occ & (cum_prev <= -math.log(cull_T))
+    else:
+        if bitrows is None:
+            bitrows = pack_bitfield_rows(bitfield)
+        occ = occupancy_lookup_wide(xyz, dts, bitrows, cfg)
+        occ = occ & (ts < t_end[:, None])
 
     t_out, dt_out, valid = _select_first_s(ts, dts, occ, S)
     xyz_out = jnp.clip(
         rays_o[:, None, :] + t_out[..., None] * rays_d[:, None, :], -cfg.bound, cfg.bound
     )
+
+    if sigma_grid is not None and sigma_rows is None and cull_T > 0.0:
+        H = cfg.grid_size
+        if cfg.cascade == 1:
+            level = jnp.zeros(xyz_out.shape[:-1], jnp.int32)
+            mip_bound = jnp.float32(min(1.0, cfg.bound))
+        else:
+            level = _mip_level(xyz_out, dt_out, cfg)
+            mip_bound = jnp.minimum(jnp.exp2(level.astype(jnp.float32)), cfg.bound)
+        n = jnp.clip(
+            jnp.floor(0.5 * (xyz_out / mip_bound[..., None] + 1.0) * H), 0.0, H - 1
+        ).astype(jnp.int32)
+        cell = level * (H * H * H) + morton3d(n)
+        # wide-row fetch of the fp32 grid (16 cells/row), lane-extracted
+        grid_rows = sigma_grid.reshape(-1, 16)
+        rows = jnp.take(grid_rows, cell >> 4, axis=0)  # [N, S, 16]
+        lane = (cell & 15)[..., None] == jnp.arange(16, dtype=jnp.int32)
+        sig_hat = jnp.sum(jnp.where(lane, rows, 0.0), axis=-1)
+        sig_hat = jnp.clip(sig_hat, 0.0, None) * 0.25  # conservative lower bound
+        cum_prev = jnp.cumsum(sig_hat * dt_out, axis=-1) - sig_hat * dt_out
+        valid = valid & (cum_prev <= -math.log(cull_T))
+
     xyz_out = jnp.where(valid[..., None], xyz_out, 0.0)
     return {
         "t": jnp.where(valid, t_out, 0.0),

@@ -606,13 +606,15 @@ class Trainer:
                 meta.get("mean_density_torso", 0.0), jnp.float32
             ),
         )
-        # rebuild the occupied-cell bbox acceleration structure
+        # rebuild the acceleration structures (occupied bbox + sigma bytes)
         if "density_grid" in arrays:
             from ..models.renderer import compute_occ_bbox
+            from ..ops.marching import build_sigma_bytes
 
             thresh = jnp.minimum(st.mean_density, self.render_cfg.density_thresh)
             st = st.replace(
-                occ_bbox=compute_occ_bbox(self.render_cfg, st.density_grid, thresh)
+                occ_bbox=compute_occ_bbox(self.render_cfg, st.density_grid, thresh),
+                sigma_bytes=build_sigma_bytes(st.density_grid, thresh),
             )
         self.state = st
 

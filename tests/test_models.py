@@ -101,6 +101,7 @@ def test_render_rays_end_to_end(params):
     # occupy everything so rays sample
     state = state.replace(
         density_bitfield=jnp.full_like(state.density_bitfield, 255),
+        sigma_bytes=jnp.full_like(state.sigma_bytes, 168),
         density_grid_torso=jnp.ones_like(state.density_grid_torso),
         mean_density_torso=jnp.ones(()) * 0.5,
     )
@@ -153,7 +154,10 @@ def test_render_rays_differentiable(params):
     """Gradient flows through the whole render into every trainable group."""
     N = 64
     state = RendererState.create(RC)
-    state = state.replace(density_bitfield=jnp.full_like(state.density_bitfield, 255))
+    state = state.replace(
+        density_bitfield=jnp.full_like(state.density_bitfield, 255),
+        sigma_bytes=jnp.full_like(state.sigma_bytes, 168),
+    )
     rays_o = jnp.tile(jnp.array([[0.0, 0.0, -3.5]]), (N, 1))
     rays_d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (N, 1))
     bg_coords = jnp.zeros((N, 2))
