@@ -52,10 +52,19 @@ _RAY_KEYS = ("rays_o", "rays_d", "bg_coords", "bg_color", "images",
 
 def shard_batch(mesh: Mesh, batch: dict, axis_name: str = "dp") -> dict:
     """Shard the per-ray arrays of a training batch; replicate the rest
-    (audio window, pose, eye, index are tiny and shared)."""
+    (audio window, pose, eye, index are tiny and shared). Arrays whose ray
+    count does not divide the mesh stay replicated (e.g. odd full-frame
+    sizes at eval)."""
+    n = mesh.shape[axis_name]
     out = {}
     for k, v in batch.items():
-        if k in _RAY_KEYS and v is not None:
+        if (
+            k in _RAY_KEYS
+            and v is not None
+            and hasattr(v, "shape")
+            and v.ndim >= 1
+            and v.shape[0] % n == 0
+        ):
             out[k] = shard_rays(mesh, v, axis_name)
         else:
             out[k] = v

@@ -133,6 +133,17 @@ class Trainer:
         # in-graph perceptual loss for lips finetune / patch training
         self.lpips = LPIPS() if (opt.finetune_lips or opt.patch_size > 1) else None
 
+        # optional data parallelism over the device mesh: params/state
+        # replicated, ray batches sharded; XLA inserts the gradient psum
+        # over ICI (the reference's dormant DDP surface, utils.py:621-623)
+        self.mesh = None
+        if opt.data_parallel and len(jax.devices()) > 1:
+            from ..parallel import create_mesh, replicate
+
+            self.mesh = create_mesh()
+            self.params = replicate(self.mesh, self.params)
+            self.state = replicate(self.mesh, self.state)
+
         self.epoch = 0
         self.global_step = 0
         self.stats = {"loss": [], "valid_loss": [], "results": [], "checkpoints": [],
@@ -297,8 +308,7 @@ class Trainer:
             )
 
     # --------------------------------------------------------------- device
-    @staticmethod
-    def _to_device(batch: dict) -> dict:
+    def _to_device(self, batch: dict) -> dict:
         out = {}
         for k, v in batch.items():
             if k in ("H", "W", "rect"):
@@ -309,6 +319,10 @@ class Trainer:
                 out[k] = None
             else:
                 out[k] = jnp.asarray(v)
+        if self.mesh is not None:
+            from ..parallel import shard_batch
+
+            out = shard_batch(self.mesh, out)
         return out
 
     # ------------------------------------------------------------ train API
@@ -531,6 +545,34 @@ class Trainer:
         }
         pred, depth = self.test_step(self._to_device(batch))
         return {"image": pred, "depth": depth}
+
+    # --------------------------------------------------------------- meshes
+    def save_mesh(self, save_path=None, resolution: int = 256, threshold: float = 10.0):
+        """Extract + export the density iso-surface (utils.py:871-891)."""
+        from ..models.network import field_density
+        from ..utils.mesh import extract_geometry, save_mesh_ply
+
+        save_path = save_path or os.path.join(
+            self.workspace, "meshes", f"{self.name}_{self.epoch}.ply"
+        )
+        os.makedirs(os.path.dirname(save_path), exist_ok=True)
+        self.log(f"==> Saving mesh to {save_path}")
+
+        params = self._eval_params()
+        net_cfg = self.net_cfg
+
+        @jax.jit
+        def query(pts):
+            return field_density(params, net_cfg, pts, None, None)["sigma"]
+
+        aabb = self.render_cfg.aabb
+        vertices, triangles = extract_geometry(
+            aabb[:3], aabb[3:], resolution=resolution, threshold=threshold,
+            query_func=lambda p: query(jnp.asarray(p)),
+        )
+        save_mesh_ply(save_path, vertices, triangles)
+        self.log(f"==> Finished saving mesh ({len(vertices)} verts, {len(triangles)} faces).")
+        return save_path
 
     # ---------------------------------------------------------- checkpoints
     def save_checkpoint(self, name=None, full=False, best=False):
