@@ -7,18 +7,18 @@ Example:
       --workspace trial_obama/ -O --torso --ckpt pretrained/obama_eo.pth
 """
 
-import argparse
 
 from main import build_parser, options_from_args
 
 
 def main():
-    base = build_parser()
+    parser = build_parser()
     # pose is required here; path is not (no training data needed)
-    parser = argparse.ArgumentParser(parents=[base], add_help=False, conflict_handler="resolve")
-    parser.add_argument("path", type=str, nargs="?", default="")
+    for action in parser._actions:
+        if action.dest == "path":
+            action.nargs = "?"
+            action.default = ""
     parser.add_argument("--pose", type=str, required=True, help="pose source json")
-    parser.add_argument("--aud", type=str, default="", help="audio feature npy")
     args = parser.parse_args()
     if not args.asr and not args.aud:
         parser.error("--aud is required unless --asr streaming is enabled")
@@ -37,7 +37,14 @@ def main():
     if opt.gui:
         from radnerf_tpu.apps.frame_server import InteractiveApp
 
-        InteractiveApp(opt, trainer, dataset).run()
+        asr = None
+        if opt.asr:
+            from radnerf_tpu.apps.asr import StreamingASR
+
+            asr = StreamingASR(opt)
+            asr.warm_up()
+        app = InteractiveApp(opt, trainer, dataset, asr=asr)
+        app.serve()  # MJPEG viewer at http://127.0.0.1:8965/
     else:
         trainer.test(dataset)
 

@@ -126,7 +126,13 @@ def main():
         if opt.gui:
             from radnerf_tpu.apps.frame_server import InteractiveApp
 
-            InteractiveApp(opt, trainer, test_set).run()
+            asr = None
+            if opt.asr:
+                from radnerf_tpu.apps.asr import StreamingASR
+
+                asr = StreamingASR(opt)
+                asr.warm_up()
+            InteractiveApp(opt, trainer, test_set, asr=asr).serve()
         else:
             if test_set.has_gt:
                 trainer.evaluate(test_set)
@@ -148,7 +154,9 @@ def main():
     if opt.gui:
         from radnerf_tpu.apps.frame_server import InteractiveApp
 
-        InteractiveApp(opt, trainer, train_ds).run()
+        app = InteractiveApp(opt, trainer, train_ds)
+        app.training = True
+        app.serve()
         return
 
     valid_ds = TalkingHeadDataset(opt, split="val")

@@ -304,6 +304,24 @@ def render_rays(
     mcfg = cfg.march_config()
     aabb = jnp.asarray(cfg.aabb, jnp.float32)
 
+    # learnable camera offsets, applied at training (renderer.py:169-175)
+    if net_cfg.train_camera and training and "camera_dR" in params:
+        dT = params["camera_dT"][index]
+        ang = params["camera_dR"][index] / 180.0 * jnp.pi + 1e-8
+        ca, sa = jnp.cos(ang), jnp.sin(ang)
+        rx = jnp.array(
+            [[1, 0, 0], [0, ca[0], -sa[0]], [0, sa[0], ca[0]]]
+        )
+        ry = jnp.array(
+            [[ca[1], 0, sa[1]], [0, 1, 0], [-sa[1], 0, ca[1]]]
+        )
+        rz = jnp.array(
+            [[ca[2], -sa[2], 0], [sa[2], ca[2], 0], [0, 0, 1]]
+        )
+        dR = rx @ ry @ rz
+        rays_o = rays_o + dT
+        rays_d = rays_d @ dR
+
     nears, fars = near_far_from_aabb(rays_o, rays_d, aabb, cfg.min_near)
     nears = jax.lax.stop_gradient(nears)
     fars = jax.lax.stop_gradient(fars)

@@ -18,8 +18,10 @@ from .marching import (
     march_rays,
     occupancy_lookup,
 )
+from .encoding import get_encoder
 from .morton import morton3d, morton3d_invert, morton_dilate, packbits
 from .ray_aabb import near_far_from_aabb
+from .sampling import sample_pdf, sph_from_ray
 from .sh_encode import sh_encode, sh_output_dim
 
 __all__ = [
@@ -38,6 +40,9 @@ __all__ = [
     "composite_rays",
     "march_rays",
     "occupancy_lookup",
+    "get_encoder",
+    "sample_pdf",
+    "sph_from_ray",
     "morton3d",
     "morton3d_invert",
     "morton_dilate",

@@ -375,7 +375,20 @@ def march_rays(
         occ = occupancy_lookup_wide(xyz, dts, bitrows, cfg)
         occ = occ & (ts < t_end[:, None])
 
-    t_out, dt_out, valid = _select_first_s(ts, dts, occ, S)
+    if affine:
+        # t is affine in the orbit index, so selection needs ONE contraction
+        # (k_sel) instead of separate t/dt contractions; dt is constant.
+        rank = jnp.cumsum(occ.astype(jnp.int32), axis=1)
+        keep = occ & (rank <= S)
+        slot = jnp.where(keep, rank - 1, S)
+        oh = slot[..., None] == jnp.arange(S)[None, None, :]
+        k_rel = jnp.broadcast_to(jnp.arange(K, dtype=jnp.float32)[None, :], occ.shape)
+        k_sel = jnp.einsum("nk,nks->ns", k_rel, oh.astype(jnp.float32))
+        valid = jnp.any(oh, axis=1)
+        t_out = jnp.where(valid, t0[:, None] + (k0[:, None] + k_sel) * dt, 0.0)
+        dt_out = jnp.where(valid, dt, 0.0)
+    else:
+        t_out, dt_out, valid = _select_first_s(ts, dts, occ, S)
     xyz_out = jnp.clip(
         rays_o[:, None, :] + t_out[..., None] * rays_d[:, None, :], -cfg.bound, cfg.bound
     )

@@ -360,6 +360,55 @@ def test_composite_grads_flow():
     assert bool(jnp.any(gs != 0)) and bool(jnp.any(gr != 0))
 
 
+def test_sph_from_ray():
+    from radnerf_tpu.ops import sph_from_ray
+
+    o = jnp.zeros((4, 3))
+    d = jnp.asarray([[0, 1, 0], [0, -1, 0], [0, 0, 1], [1, 0, 0]], jnp.float32)
+    coords = np.asarray(sph_from_ray(o, d, 2.0))
+    assert coords.shape == (4, 2)
+    assert np.all((coords >= -1) & (coords <= 1))
+    # +y pole -> theta 0 -> coord -1; -y pole -> +1
+    np.testing.assert_allclose(coords[0, 0], -1.0, atol=1e-6)
+    np.testing.assert_allclose(coords[1, 0], 1.0, atol=1e-6)
+
+
+def test_sample_pdf():
+    from radnerf_tpu.ops import sample_pdf
+
+    bins = jnp.broadcast_to(jnp.linspace(0.0, 1.0, 9), (4, 9))
+    w = jnp.zeros((4, 8)).at[:, 3].set(10.0)  # mass in bin 3 = [0.375, 0.5]
+    samples = np.asarray(sample_pdf(bins, w, 16, det=True))
+    assert samples.shape == (4, 16)
+    assert (samples >= 0.3).mean() > 0.9 and (samples <= 0.55).mean() > 0.9
+    s2 = np.asarray(sample_pdf(bins, w, 16, key=jax.random.PRNGKey(0)))
+    assert s2.shape == (4, 16)
+
+
+def test_get_encoder_factory():
+    from radnerf_tpu.ops import get_encoder
+
+    enc, dim, init = get_encoder("frequency", input_dim=2, multires=10)
+    assert dim == 42 and init is None
+    assert enc(jnp.zeros((3, 2))).shape == (3, 42)
+
+    enc, dim, init = get_encoder("spherical_harmonics", degree=4)
+    assert dim == 16
+    assert enc(jnp.zeros((3, 3))).shape == (3, 16)
+
+    enc, dim, init = get_encoder(
+        "tiledgrid", input_dim=3, num_levels=16, level_dim=2,
+        base_resolution=16, log2_hashmap_size=16, desired_resolution=2048,
+    )
+    assert dim == 32
+    table = init(jax.random.PRNGKey(0))
+    assert table.shape == (903480, 2)
+    assert enc(jnp.zeros((5, 3)), params=table, bound=1.0).shape == (5, 32)
+
+    enc, dim, init = get_encoder("None", input_dim=7)
+    assert dim == 7
+
+
 def test_compact_samples_roundtrip():
     rng = np.random.default_rng(8)
     valid = rng.uniform(size=(16, 8)) < 0.3

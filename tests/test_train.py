@@ -282,6 +282,39 @@ def test_torch_checkpoint_import(tmp_path):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
+def test_training_converges(data_dir, tmp_path):
+    """Overfit smoke test: loss should drop substantially on a tiny dataset
+    (the reference's only functional check is end-to-end training quality)."""
+    opt = _opts(data_dir, str(tmp_path / "ws_c"))
+    opt.num_rays = 1024
+    opt.iters = 64
+    rc = RenderConfig(torso=False, exp_eye=True, **TINY_RC)
+    ds = TalkingHeadDataset(opt, split="train")
+    tr = Trainer("ngp", opt, render_cfg=rc, workspace=str(tmp_path / "ws_c"),
+                 use_tensorboard=False, mute=True, use_checkpoint="scratch")
+    first = tr.train_gui(ds, step=8)["loss"]
+    for _ in range(6):
+        last = tr.train_gui(ds, step=8)["loss"]
+    assert np.isfinite(last)
+    # 64 steps is a smoke test, not a fit: the loss must move monotonically
+    # downward (the reference's recipes run 200k steps)
+    assert last < first * 0.99, f"no convergence: first={first}, last={last}"
+
+
+def test_train_camera_path(data_dir, tmp_path):
+    opt = _opts(data_dir, str(tmp_path / "ws_cam"), train_camera=True)
+    rc = RenderConfig(torso=False, exp_eye=True, **TINY_RC)
+    ds = TalkingHeadDataset(opt, split="train")
+    tr = Trainer("ngp", opt, render_cfg=rc, workspace=str(tmp_path / "ws_cam"),
+                 use_tensorboard=False, mute=True, use_checkpoint="scratch")
+    assert "camera_dT" in tr.params
+    before = np.asarray(tr.params["camera_dT"]).copy()
+    tr.train_gui(ds, step=4)
+    after = np.asarray(tr.params["camera_dT"])
+    assert np.isfinite(after).all()
+    assert not np.array_equal(before, after)  # camera offsets receive grads
+
+
 def test_lpips_and_psnr():
     a = np.random.default_rng(0).uniform(0, 1, (32, 32, 3)).astype(np.float32)
     b = np.clip(a + 0.1, 0, 1)
