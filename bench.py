@@ -30,12 +30,13 @@ def build_scene(H_img=512, W_img=512):
     from radnerf_tpu.ops.marching import build_sigma_bytes
 
     from radnerf_tpu.models import compute_occ_bbox
+    from radnerf_tpu.models.renderer import compute_occ_sphere
 
     net_cfg = NetworkConfig(torso=True, exp_eye=True,
                             compute_dtype="bfloat16")
     rc = RenderConfig(torso=True, exp_eye=True, max_steps=16,
                       dt_gamma=1.0 / 256, sample_capacity_mult=3,
-                      march_iters=48, ray_capacity_frac=0.375)
+                      march_iters=32, ray_capacity_frac=0.375)
     params = init_params(jax.random.PRNGKey(0), net_cfg)
     state = RendererState.create(rc)
 
@@ -59,6 +60,7 @@ def build_scene(H_img=512, W_img=512):
         ),
         mean_density_torso=jnp.asarray(0.05, jnp.float32),
         occ_bbox=compute_occ_bbox(rc, grid, 5.0),
+        occ_sphere=compute_occ_sphere(rc, grid, 5.0),
         sigma_bytes=build_sigma_bytes(grid, 5.0),
     )
 

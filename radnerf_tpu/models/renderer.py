@@ -47,6 +47,7 @@ from .network import (
 )
 
 GRID_SIZE = 128  # renderer.py:70
+SQRT3 = 1.7320508075688772
 
 
 @dataclasses.dataclass(frozen=True)
@@ -126,6 +127,7 @@ class RendererState:
     enc_a_smooth: jax.Array  # [1, audio_dim] smoothed audio code
     enc_a_initialized: jax.Array  # [] bool
     occ_bbox: jax.Array  # [6] world-space bounds of occupied cells
+    occ_sphere: jax.Array  # [4] (cx, cy, cz, radius) bounding sphere
     sigma_bytes: jax.Array  # [cascade*H^3] uint8 occ|log-sigma byte field
 
     @staticmethod
@@ -142,6 +144,7 @@ class RendererState:
             enc_a_smooth=jnp.zeros((1, audio_dim), jnp.float32),
             enc_a_initialized=jnp.zeros((), jnp.bool_),
             occ_bbox=jnp.asarray([-b, -b, -b, b, b, b], jnp.float32),
+            occ_sphere=jnp.asarray([0.0, 0.0, 0.0, b * SQRT3], jnp.float32),
             sigma_bytes=jnp.zeros((cas * H**3,), jnp.uint8),
         )
 
@@ -173,6 +176,26 @@ def compute_occ_bbox(cfg: RenderConfig, density_grid: jax.Array, thresh) -> jax.
     lo = jnp.where(any_occ, lo, jnp.asarray([-b, -b, -b]))
     hi = jnp.where(any_occ, hi, jnp.asarray([b, b, b]))
     return jnp.concatenate([lo, hi]).astype(jnp.float32)
+
+
+def compute_occ_sphere(cfg: RenderConfig, density_grid: jax.Array, thresh) -> jax.Array:
+    """Bounding sphere of occupied cells: a tighter ray-clip than the bbox
+    for blob-shaped occupancy (a head). Returns [cx, cy, cz, radius]."""
+    H = cfg.grid_size
+    coords = morton3d_invert(jnp.arange(H**3, dtype=jnp.int32)).astype(jnp.float32)
+    r = jnp.zeros((), jnp.float32)
+    # center from the bbox; radius = max distance of any occupied cell corner
+    bbox = compute_occ_bbox(cfg, density_grid, thresh)
+    center = 0.5 * (bbox[:3] + bbox[3:])
+    for cas in range(cfg.cascade):
+        mip_bound = min(2.0**cas, cfg.bound)
+        occ = density_grid[cas] > thresh
+        world = (2.0 * (coords + 0.5) / H - 1.0) * mip_bound
+        dist = jnp.linalg.norm(world - center, axis=-1) + SQRT3 * mip_bound / H
+        r = jnp.maximum(r, jnp.max(jnp.where(occ, dist, 0.0)))
+    any_occ = r > 0
+    r = jnp.where(any_occ, r, cfg.bound * SQRT3)
+    return jnp.concatenate([center, r[None]]).astype(jnp.float32)
 
 
 def bilinear_sample_2d(grid_flat: jax.Array, coords: jax.Array, H: int) -> jax.Array:
@@ -347,6 +370,14 @@ def render_rays(
     tb1 = (bb[3:] - rays_o) / rays_d
     t_lo = jnp.maximum(jnp.max(jnp.minimum(tb0, tb1), axis=-1), nears)
     t_hi = jnp.minimum(jnp.min(jnp.maximum(tb0, tb1), axis=-1), fars)
+    # intersect with the occupied bounding sphere (tighter for blob shapes;
+    # caps the marched span at the sphere chord <= 2*radius)
+    oc = rays_o - state.occ_sphere[:3]
+    b_half = jnp.sum(oc * rays_d, axis=-1)
+    disc = b_half * b_half - (jnp.sum(oc * oc, axis=-1) - state.occ_sphere[3] ** 2)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t_lo = jnp.maximum(t_lo, -b_half - sq)
+    t_hi = jnp.minimum(t_hi, jnp.where(disc > 0, -b_half + sq, -jnp.inf))
     hit = t_lo < t_hi
 
     def run_head(o, d, nr, fr, lo, hi, nz):
@@ -545,6 +576,7 @@ def update_density_grid(
         density_bitfield=bitfield,
         mean_density=mean_density,
         occ_bbox=compute_occ_bbox(cfg, new_grid, thresh),
+        occ_sphere=compute_occ_sphere(cfg, new_grid, thresh),
         sigma_bytes=build_sigma_bytes(new_grid, thresh),
     )
 

@@ -650,12 +650,13 @@ class Trainer:
         )
         # rebuild the acceleration structures (occupied bbox + sigma bytes)
         if "density_grid" in arrays:
-            from ..models.renderer import compute_occ_bbox
+            from ..models.renderer import compute_occ_bbox, compute_occ_sphere
             from ..ops.marching import build_sigma_bytes
 
             thresh = jnp.minimum(st.mean_density, self.render_cfg.density_thresh)
             st = st.replace(
                 occ_bbox=compute_occ_bbox(self.render_cfg, st.density_grid, thresh),
+                occ_sphere=compute_occ_sphere(self.render_cfg, st.density_grid, thresh),
                 sigma_bytes=build_sigma_bytes(st.density_grid, thresh),
             )
         self.state = st
