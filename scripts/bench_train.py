@@ -7,9 +7,13 @@ grad -> per-group Adam update) on one TPU chip at the same ray batch.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():

@@ -111,3 +111,28 @@ def test_preprocess_save_transforms(tmp_path):
     # rotation block orthonormal
     R = m[:3, :3]
     np.testing.assert_allclose(R @ R.T, np.eye(3), atol=1e-5)
+
+
+def test_bisenet_shapes():
+    import jax
+    import jax.numpy as jnp
+
+    from radnerf_tpu.preprocess.face_parsing import (
+        bisenet_apply,
+        bisenet_init,
+        classes_to_colors,
+    )
+
+    params = bisenet_init(jax.random.PRNGKey(0))
+    logits = bisenet_apply(params, jnp.zeros((1, 3, 128, 128)))
+    assert logits.shape == (1, 19, 128, 128)
+    assert bool(jnp.all(jnp.isfinite(logits)))
+
+    parsing = np.arange(19, dtype=np.uint8).reshape(1, 19).repeat(4, 0)
+    colors = classes_to_colors(parsing)
+    # class 0 -> bg white, 1 -> head red, 14 -> neck green, 16 -> torso blue
+    assert tuple(colors[0, 0]) == (255, 255, 255)
+    assert tuple(colors[0, 1]) == (255, 0, 0)
+    assert tuple(colors[0, 14]) == (0, 255, 0)
+    assert tuple(colors[0, 16]) == (0, 0, 255)
+    assert tuple(colors[0, 18]) == (255, 0, 0)
