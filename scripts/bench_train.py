@@ -50,8 +50,10 @@ def main():
         "index": batch["index"],
     }
 
+    keys = jax.random.split(jax.random.PRNGKey(0), 64)
+
     @jax.jit
-    def train_step(params, opt_state, state, tb, auds, step, key):
+    def train_step(params, opt_state, state, auds, step, key):
         def loss_fn(p):
             noises = jax.random.uniform(key, (n_rays,))
             res, st2 = render_rays(
@@ -66,18 +68,17 @@ def main():
         updates, opt_state2 = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state2, st2, loss
 
-    key = jax.random.PRNGKey(0)
     params, opt_state, state, loss = train_step(
-        params, opt_state, state, tb, aud_stream[0], jnp.float32(1), key
+        params, opt_state, state, aud_stream[0], jnp.float32(1), keys[0]
     )
-    loss.block_until_ready()
+    float(loss)
 
     n = 20
     t0 = time.perf_counter()
     for i in range(n):
         params, opt_state, state, loss = train_step(
-            params, opt_state, state, tb, aud_stream[i % 64],
-            jnp.float32(i), jax.random.fold_in(key, i),
+            params, opt_state, state, aud_stream[i % 64],
+            jnp.float32(i), keys[i % 64],
         )
     print("final loss:", float(loss))  # forces completion
     dt = time.perf_counter() - t0
