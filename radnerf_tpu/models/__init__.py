@@ -17,6 +17,7 @@ from .renderer import (
     compute_occ_bbox,
     mark_untrained_grid,
     render_rays,
+    reset_extra_state,
     smooth_audio_code,
     update_density_grid,
     update_torso_grid,
@@ -37,6 +38,7 @@ __all__ = [
     "compute_occ_bbox",
     "mark_untrained_grid",
     "render_rays",
+    "reset_extra_state",
     "smooth_audio_code",
     "update_density_grid",
     "update_torso_grid",

@@ -149,6 +149,15 @@ class RendererState:
         )
 
 
+def reset_extra_state(cfg: RenderConfig, state: RendererState) -> RendererState:
+    """Zero the density grid/bitfield and counters (renderer.py:145-155)."""
+    fresh = RendererState.create(cfg, audio_dim=state.enc_a_smooth.shape[-1])
+    return fresh.replace(
+        density_grid_torso=state.density_grid_torso,
+        mean_density_torso=state.mean_density_torso,
+    )
+
+
 def compute_occ_bbox(cfg: RenderConfig, density_grid: jax.Array, thresh) -> jax.Array:
     """World-space bounding box of occupied cells (union over cascades).
 

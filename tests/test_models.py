@@ -274,3 +274,94 @@ def test_param_groups():
     g_torso = param_groups(NetworkConfig(torso=True))
     assert g_torso["torso_encoder"] == "grid"
     assert g_torso["sigma_net"] == "frozen"
+
+
+def test_fast_path_matches_exhaustive(params):
+    """The production fast path (ray compaction + bbox/sphere windowing +
+    density-prior culling + sample compaction) must render every ray the
+    exhaustive path renders, with matching values where culling cannot act
+    (this codifies the capacity-overflow bug found during verification)."""
+    import dataclasses
+
+    from radnerf_tpu.models.renderer import compute_occ_bbox, compute_occ_sphere
+    from radnerf_tpu.ops import packbits
+    from radnerf_tpu.ops.marching import build_sigma_bytes
+
+    H = 32
+    rng = np.random.default_rng(11)
+    # blob occupancy with LOW density so the prior cull never fires -> the
+    # two paths must agree exactly
+    coords = np.stack(np.meshgrid(*[np.arange(H)] * 3, indexing="ij"), -1).reshape(-1, 3)
+    from radnerf_tpu.ops import morton3d
+
+    xyz = 2.0 * coords / (H - 1) - 1.0
+    dens = np.zeros(H**3, np.float32)
+    dens_m = np.zeros(H**3, np.float32)
+    mort = np.asarray(morton3d(jnp.asarray(coords, jnp.int32)))
+    blob = np.linalg.norm(xyz - [0, 0.05, 0], axis=-1) < 0.4
+    dens_m[mort[blob]] = 1.0  # sigma-hat 1 -> cum stays < ln(1e6)
+    grid = jnp.asarray(dens_m)[None]
+
+    rc_fast = RenderConfig(torso=False, max_steps=8, dt_gamma=0.0, grid_size=H,
+                           sample_capacity_mult=8, ray_capacity_frac=0.5,
+                           march_iters=None, cull_T=1e-6)
+    rc_ref = dataclasses.replace(rc_fast, ray_capacity_frac=1.0, cull_T=0.0,
+                                 sample_capacity_mult=8)
+
+    state = RendererState.create(rc_fast)
+    state = state.replace(
+        density_grid=grid,
+        density_bitfield=packbits(grid, 0.5),
+        sigma_bytes=build_sigma_bytes(grid, 0.5),
+        occ_bbox=compute_occ_bbox(rc_fast, grid, 0.5),
+        occ_sphere=compute_occ_sphere(rc_fast, grid, 0.5),
+    )
+
+    N = 1024
+    rays_o = np.tile(np.array([[0.0, 0.0, -3.3]], np.float32), (N, 1))
+    # wide spread so only ~25% of rays hit the blob (the ray capacity of
+    # frac=0.5 must then cover all hits; overflow-drop is separate, tested
+    # via compact_samples)
+    d = np.concatenate([rng.uniform(-0.3, 0.3, (N, 2)), np.ones((N, 1))], -1)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    common = dict(
+        auds=jnp.zeros((8, 44, 16)), bg_coords=jnp.zeros((N, 2)),
+        pose6=jnp.zeros((1, 6)), eye=jnp.full((1, 1), 0.25),
+        index=jnp.zeros((), jnp.int32), bg_color=jnp.full((N, 3), 0.5),
+    )
+
+    def run(rc):
+        res, _ = render_rays(params, NET, rc, state, jnp.asarray(rays_o),
+                             jnp.asarray(d, jnp.float32), common["auds"],
+                             common["bg_coords"], common["pose6"], common["eye"],
+                             common["index"], common["bg_color"], training=True)
+        return res
+
+    fast = run(rc_fast)
+    ref = run(rc_ref)
+    ws_f = np.asarray(fast["weights_sum"])
+    ws_r = np.asarray(ref["weights_sum"])
+    # every ray the exhaustive path renders also renders in the fast path
+    assert not ((ws_r > 1e-3) & (ws_f < 1e-6)).any()
+    np.testing.assert_allclose(ws_f, ws_r, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(fast["image"]), np.asarray(ref["image"]), atol=1e-4
+    )
+
+
+def test_reset_extra_state():
+    from radnerf_tpu.models import reset_extra_state
+
+    rc = RenderConfig(grid_size=32, max_steps=8)
+    state = RendererState.create(rc)
+    state = state.replace(
+        density_grid=jnp.ones_like(state.density_grid),
+        mean_density=jnp.ones(()),
+        density_grid_torso=jnp.full_like(state.density_grid_torso, 0.3),
+    )
+    out = reset_extra_state(rc, state)
+    assert float(out.density_grid.sum()) == 0.0
+    assert float(out.mean_density) == 0.0
+    # torso grid preserved (the reference only clears the head grid,
+    # renderer.py:145-155)
+    assert float(out.density_grid_torso.mean()) == pytest.approx(0.3)
