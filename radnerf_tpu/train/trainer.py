@@ -620,7 +620,9 @@ class Trainer:
         if state is not None:
             self._apply_state_arrays(state, meta)
         if ema is not None and self.ema_params is not None:
-            self.ema_params = ema
+            # merge, don't replace: a head-stage checkpoint's EMA lacks the
+            # torso parameter groups present in a torso-stage trainer
+            self.ema_params, _ = ckpt_lib.merge_imported(self.ema_params, ema)
         if not model_only:
             self.epoch = int(meta.get("epoch", 0))
             self.global_step = int(meta.get("global_step", 0))
@@ -665,4 +667,10 @@ class Trainer:
     def freeze_loaded_head(self, head_ckpt: str):
         """Torso stage warm start (main.py:142-157): import head weights;
         param_groups already maps non-torso keys to 'frozen'."""
+        if not os.path.exists(head_ckpt):
+            raise FileNotFoundError(
+                f"--head_ckpt {head_ckpt} not found. Note: the 'best' "
+                f"checkpoint (ngp.npz) is only written at eval epochs; use "
+                f"the rolling epoch checkpoint (ngp_epXXXX.npz) otherwise."
+            )
         self.load_checkpoint(head_ckpt, model_only=True)

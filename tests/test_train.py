@@ -332,3 +332,43 @@ def test_lpips_and_psnr():
     fn = LPIPS().loss_fn()
     g = jax.grad(lambda x: jnp.sum(fn(x, jnp.asarray(b)[None])))(jnp.asarray(a)[None])
     assert bool(jnp.any(g != 0))
+
+
+def test_torso_stage_from_head_checkpoint(data_dir, tmp_path):
+    """The full 3-stage golden path: head train (with EMA) -> save -> torso
+    trainer imports + freezes the head ckpt -> train -> eval. Regression for
+    the EMA-tree replacement bug (a head-stage checkpoint's EMA lacks torso
+    keys and must MERGE into the torso trainer's EMA)."""
+    opt_h = _opts(data_dir, str(tmp_path / "h"))
+    rc_h = RenderConfig(torso=False, exp_eye=True, **TINY_RC)
+    ds = TalkingHeadDataset(opt_h, split="train")
+    val = TalkingHeadDataset(opt_h, split="val")
+    val.eval_count = 1
+    tr_h = Trainer("ngp", opt_h, render_cfg=rc_h, workspace=str(tmp_path / "h"),
+                   ema_decay=0.95, ema_update_interval=1,
+                   use_tensorboard=False, mute=True, use_checkpoint="scratch")
+    tr_h.train(ds, val, max_epochs=1)
+    head_ckpt = str(tmp_path / "h" / "checkpoints" / "ngp_ep0001.npz")
+    assert os.path.exists(head_ckpt)
+
+    opt_t = _opts(data_dir, str(tmp_path / "t"), torso=True)
+    rc_t = RenderConfig(torso=True, exp_eye=True, **TINY_RC)
+    ds_t = TalkingHeadDataset(opt_t, split="train")
+    tr_t = Trainer("ngp", opt_t, render_cfg=rc_t, workspace=str(tmp_path / "t"),
+                   ema_decay=0.95, use_tensorboard=False, mute=True,
+                   use_checkpoint="scratch")
+    tr_t.freeze_loaded_head(head_ckpt)
+    # EMA tree must still contain the torso groups after the import
+    assert "individual_codes_torso" in tr_t.ema_params
+    assert "torso_net" in tr_t.ema_params
+    tr_t.train_gui(ds_t, step=2)
+    # eval path uses EMA params; must render without KeyError
+    ds_t.training = False
+    ds_t.num_rays = -1
+    batch = tr_t._to_device(ds_t.collate(0))
+    pred, _ = tr_t.eval_step(batch)
+    assert np.isfinite(pred).all()
+
+    # missing head ckpt -> clear error
+    with pytest.raises(FileNotFoundError, match="head_ckpt"):
+        tr_t.freeze_loaded_head(str(tmp_path / "nope.npz"))
