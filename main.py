@@ -96,6 +96,14 @@ def options_from_args(args) -> Options:
         opt.apply_O()
     if args.test:
         opt.apply_test_mode()
+    # post-parse derivations (main.py:123-129)
+    if opt.patch_size > 1:
+        assert opt.num_rays % (opt.patch_size**2) == 0, (
+            "patch_size ** 2 should divide num_rays"
+        )
+    if opt.finetune_lips:
+        # do not update the density grid during the lips finetune stage
+        opt.update_extra_interval = 10**9
     return opt
 
 

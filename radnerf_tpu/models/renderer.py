@@ -218,21 +218,21 @@ def bilinear_sample_2d(grid_flat: jax.Array, coords: jax.Array, H: int) -> jax.A
     b = (coords[..., 1] + 1.0) * 0.5 * (H - 1)  # "y" -> major axis
     a0 = jnp.clip(jnp.floor(a), 0, H - 1)
     b0 = jnp.clip(jnp.floor(b), 0, H - 1)
-    a1 = jnp.clip(a0 + 1, 0, H - 1)
     b1 = jnp.clip(b0 + 1, 0, H - 1)
     wa = jnp.clip(a - a0, 0.0, 1.0)
     wb = jnp.clip(b - b0, 0.0, 1.0)
-    a0i, a1i, b0i, b1i = (v.astype(jnp.int32) for v in (a0, a1, b0, b1))
+    a0i, b0i, b1i = (v.astype(jnp.int32) for v in (a0, b0, b1))
 
-    def g(bi, ai):
-        return jnp.take(grid_flat, bi * H + ai, axis=0)
-
-    return (
-        g(b0i, a0i) * (1 - wa) * (1 - wb)
-        + g(b0i, a1i) * wa * (1 - wb)
-        + g(b1i, a0i) * (1 - wa) * wb
-        + g(b1i, a1i) * wa * wb
-    )
+    # TPU: width-1 gathers run ~3x slower than wide rows, so fetch the two
+    # minor-axis neighbours as ONE paired row (pair table = grid, shifted
+    # grid). At the a0 == H-1 edge wa == 0, so the wrapped second lane never
+    # contributes.
+    pairs = jnp.stack([grid_flat, jnp.roll(grid_flat, -1)], axis=1)  # [H*H, 2]
+    row0 = jnp.take(pairs, b0i * H + a0i, axis=0)  # [..., 2]
+    row1 = jnp.take(pairs, b1i * H + a0i, axis=0)
+    top = row0[..., 0] * (1 - wa) + row0[..., 1] * wa
+    bot = row1[..., 0] * (1 - wa) + row1[..., 1] * wa
+    return top * (1 - wb) + bot * wb
 
 
 def smooth_audio_code(state: RendererState, enc_a: jax.Array, enabled: bool):
