@@ -104,6 +104,9 @@ class Options:
     sample_capacity_mult: int = 4  # field-eval buffer = mult * num_rays
     march_iters: Optional[int] = None  # None -> safe bound from MarchConfig
     data_parallel: bool = False  # shard ray batches over the device mesh
+    # adapt ray/sample capacities to measured occupancy (the mean_count
+    # analogue, raymarching.py:224-229); bounded bucketed recompiles
+    auto_capacity: bool = True
 
     def apply_O(self) -> "Options":
         """-O bundle: fp16 + exp_eye (main.py:111-113)."""

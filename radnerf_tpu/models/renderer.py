@@ -410,7 +410,13 @@ def render_rays(
             sig * cfg.density_scale, col, march["dt"], march["t"], val,
             ambient=jnp.sum(jnp.abs(amb), axis=-1), T_thresh=cfg.T_thresh,
         )
+        # samples the marcher wanted (pre-capacity), for adaptive sizing
+        comp["n_samples_needed"] = jnp.sum(march["valid"].astype(jnp.int32))
         return comp
+
+    # capacity telemetry (the reference's step_counter/mean_count stats,
+    # renderer.py:126-129): consumed by the Trainer's adaptive resizing
+    results["n_hit"] = jnp.sum(hit.astype(jnp.int32))
 
     if cfg.ray_capacity_frac >= 1.0:
         comp = run_head(rays_o, rays_d, nears, fars, t_lo, t_hi, noises)
@@ -418,6 +424,7 @@ def render_rays(
         depth_raw = jnp.where(hit, comp["depth"], 0.0)
         image = jnp.where(hit[:, None], comp["image"], 0.0)
         ambient_sum = jnp.where(hit, comp["ambient_sum"], 0.0)
+        results["n_samples_needed"] = comp["n_samples_needed"]
     else:
         # ray compaction: march/evaluate only rays whose interval intersects
         # the occupied bbox (the TPU analogue of the reference's alive-ray
@@ -457,6 +464,7 @@ def render_rays(
         depth_raw = back[:, 3]
         weights_sum = back[:, 4]
         ambient_sum = back[:, 5]
+        results["n_samples_needed"] = comp_c["n_samples_needed"]
 
     comp = {"weights_sum": weights_sum, "depth": depth_raw,
             "image": image, "ambient_sum": ambient_sum}

@@ -220,6 +220,8 @@ class Trainer:
         lpips_fn = self.lpips.loss_fn() if self.lpips is not None else None
         lips_mode, lips_shape = shape_sig[0], shape_sig[1]
 
+        rc = self.render_cfg  # rebound: may have been adaptively resized
+
         @jax.jit
         def step(params, opt_state, state, batch, global_step, noise_key):
             def loss_fn(p):
@@ -241,17 +243,57 @@ class Trainer:
                         lpips_shape=lips_shape if lips_mode else None,
                         lpips_weight=0.01 if opt.finetune_lips else 0.001,
                     )
-                return loss, (results, state2)
+                stats = jnp.stack(
+                    [results["n_hit"], results["n_samples_needed"]]
+                )
+                return loss, (stats, state2)
 
-            (loss, (results, state2)), grads = jax.value_and_grad(
+            (loss, (stats, state2)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True
             )(params)
             updates, opt_state2 = self.tx.update(grads, opt_state, params)
             params2 = optax.apply_updates(params, updates)
-            return params2, opt_state2, state2, loss
+            return params2, opt_state2, state2, loss, stats
 
         self._train_step_fn[shape_sig] = step
         return step
+
+    # ---------------------------------------------- adaptive capacities
+    def _adapt_capacities(self, stats, n_rays: int):
+        """The mean_count analogue (raymarching.py:224-229): resize the
+        static ray/sample capacities to measured occupancy, in buckets, so
+        compiles stay bounded while capacities stay tight AND safe."""
+        import dataclasses
+
+        n_hit, n_needed = int(stats[0]), int(stats[1])
+        rc = self.render_cfg
+        R = max(128, int(-(-n_rays * min(rc.ray_capacity_frac, 1.0) // 128)) * 128)
+
+        # ray capacity: keep hits within [40%, 85%] of R (buckets of 1/8)
+        frac = rc.ray_capacity_frac
+        want = min(1.0, (n_hit / n_rays) * 1.35 if n_rays else 1.0)
+        want = max(0.125, -(-want * 8 // 1) / 8)  # round UP to 1/8
+        if want > frac or (want < frac and n_hit < 0.4 * R):
+            frac = want
+
+        # sample capacity: keep needed within [35%, 85%] of mult*R
+        mult = rc.sample_capacity_mult
+        r_for_mult = max(128, int(-(-n_rays * min(frac, 1.0) // 128)) * 128)
+        used = n_needed / max(r_for_mult, 1)
+        want_mult = max(1, int(-(-used * 1.35 // 1)))
+        if want_mult > mult or (want_mult < mult and used < 0.35 * mult):
+            mult = want_mult
+
+        if frac != rc.ray_capacity_frac or mult != rc.sample_capacity_mult:
+            self.render_cfg = dataclasses.replace(
+                rc, ray_capacity_frac=frac, sample_capacity_mult=mult
+            )
+            self._train_step_fn.clear()
+            self._render_fn.clear()
+            self.log(
+                f"[INFO] adapt capacities: ray_frac={frac:.3f} "
+                f"sample_mult={mult} (hits={n_hit}, samples={n_needed})"
+            )
 
     def _get_render_fn(self):
         if "render" not in self._render_fn:
@@ -360,8 +402,14 @@ class Trainer:
         total_loss, local_step = 0.0, 0
         t0 = time.time()
 
+        losses = []  # device scalars; pulled lazily to avoid per-step syncs
+        last_stats = None
         for idx in dataset.epoch_indices():
             if self.global_step % self.opt.update_extra_interval == 0:
+                if (self.opt.auto_capacity and last_stats is not None):
+                    self._adapt_capacities(
+                        np.asarray(last_stats), n_rays=int(self._last_n_rays)
+                    )
                 self._update_extra_state(dataset)
             local_step += 1
             self.global_step += 1
@@ -373,13 +421,14 @@ class Trainer:
                 sig = (True, (xmax - xmin, ymax - ymin), batch["rays_o"].shape[0])
             else:
                 sig = (False, None, batch["rays_o"].shape[0])
+            self._last_n_rays = batch["rays_o"].shape[0]
 
             step_fn = self._get_train_step(sig)
-            self.params, self.opt_state, self.state, loss = step_fn(
+            self.params, self.opt_state, self.state, loss, last_stats = step_fn(
                 self.params, self.opt_state, self.state, batch,
                 jnp.asarray(self.global_step, jnp.float32), self._next_key(),
             )
-            total_loss += float(loss)
+            losses.append(loss)
 
             # flip lips finetune every other step (utils.py:769-770)
             if self.flip_finetune_lips:
@@ -393,9 +442,10 @@ class Trainer:
                     lambda e, p: d * e + (1 - d) * p, self.ema_params, self.params
                 )
 
-            if self.writer:
+            if self.writer and self.global_step % 16 == 0:
                 self.writer.add_scalar("train/loss", float(loss), self.global_step)
 
+        total_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
         avg = total_loss / max(local_step, 1)
         self.stats["loss"].append(avg)
         dt = time.time() - t0
@@ -505,7 +555,7 @@ class Trainer:
                 self.render_cfg, self.state, jnp.asarray(dataset.poses),
                 tuple(dataset.intrinsics),
             )
-        total = 0.0
+        losses = []
         order = dataset.epoch_indices()
         for s in range(step):
             if self.global_step % self.opt.update_extra_interval == 0:
@@ -514,12 +564,12 @@ class Trainer:
             batch = self._to_device(dataset.collate(int(order[s % len(order)])))
             sig = (False, None, batch["rays_o"].shape[0])
             step_fn = self._get_train_step(sig)
-            self.params, self.opt_state, self.state, loss = step_fn(
+            self.params, self.opt_state, self.state, loss, _stats = step_fn(
                 self.params, self.opt_state, self.state, batch,
                 jnp.asarray(self.global_step, jnp.float32), self._next_key(),
             )
-            total += float(loss)
-        return {"loss": total / step}
+            losses.append(loss)
+        return {"loss": float(jnp.mean(jnp.stack(losses)))}
 
     def test_gui(self, pose, intrinsics, W, H, auds=None, eye=0.25, index=0,
                  bg_color=None, spp=1, downscale=1):

@@ -372,3 +372,33 @@ def test_torso_stage_from_head_checkpoint(data_dir, tmp_path):
     # missing head ckpt -> clear error
     with pytest.raises(FileNotFoundError, match="head_ckpt"):
         tr_t.freeze_loaded_head(str(tmp_path / "nope.npz"))
+
+
+def test_adaptive_capacities(data_dir, tmp_path):
+    """_adapt_capacities resizes ray/sample capacities to measured occupancy
+    (the mean_count analogue) and invalidates the jit caches."""
+    opt = _opts(data_dir, str(tmp_path / "ws_a"))
+    kw = {**TINY_RC, "sample_capacity_mult": 4}
+    rc = RenderConfig(torso=False, exp_eye=True, ray_capacity_frac=0.5, **kw)
+    tr = Trainer("ngp", opt, render_cfg=rc, workspace=str(tmp_path / "ws_a"),
+                 use_tensorboard=False, mute=True, use_checkpoint="scratch")
+    tr._train_step_fn["sentinel"] = object()
+
+    # hits near capacity -> frac grows
+    n_rays = 1024
+    tr._adapt_capacities(np.array([600, 1000]), n_rays)  # hits 600/1024 > .85*512
+    assert tr.render_cfg.ray_capacity_frac > 0.5
+    assert "sentinel" not in tr._train_step_fn  # caches invalidated
+
+    # sparse scene -> both shrink
+    kw8 = {**TINY_RC, "sample_capacity_mult": 8}
+    tr.render_cfg = RenderConfig(torso=False, exp_eye=True,
+                                 ray_capacity_frac=1.0, **kw8)
+    tr._adapt_capacities(np.array([64, 128]), n_rays)
+    assert tr.render_cfg.ray_capacity_frac < 1.0
+    assert tr.render_cfg.sample_capacity_mult < 8
+
+    # capacities never under-provision the measured demand
+    R = max(128, int(-(-n_rays * tr.render_cfg.ray_capacity_frac // 128)) * 128)
+    assert R >= 64 * 1.2
+    assert tr.render_cfg.sample_capacity_mult * R >= 128
