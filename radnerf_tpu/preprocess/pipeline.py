@@ -53,9 +53,17 @@ def extract_frames(video_path: str, out_dir: str, fps: int = 25):
 
 # -------------------------------------------------------------------- task 2
 def extract_audio_features(wav_path: str, asr_model: str, audio_in_dim: int,
-                           logits_fn: Optional[Callable] = None):
-    """Run the streaming ASR over the whole wav and save unfolded features
-    (the save_feats path, apps/asr.py)."""
+                           logits_fn: Optional[Callable] = None,
+                           deepspeech_pb: Optional[str] = None):
+    """Extract per-frame audio features. wav2vec mode runs the streaming ASR
+    over the whole wav and saves unfolded features (the save_feats path,
+    apps/asr.py); deepspeech mode runs the MFCC + frozen-graph extractor
+    (preprocess/deepspeech.py, reference data_utils/deepspeech_features/)."""
+    if "deepspeech" in asr_model:
+        from .deepspeech import extract_ds_features
+
+        extract_ds_features(wav_path, pb_path=deepspeech_pb, net_fn=logits_fn)
+        return
     from ..apps.asr import StreamingASR
     from ..config import Options
 

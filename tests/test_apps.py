@@ -95,3 +95,37 @@ def test_orbit_camera():
     intr = cam.intrinsics
     cam.update_intrinsics(intr)
     np.testing.assert_allclose(cam.intrinsics, intr, rtol=1e-5)
+
+
+def test_deepspeech_feature_pipeline(wav_file):
+    """MFCC front-end + windowing with an injected fake acoustic net."""
+    from radnerf_tpu.preprocess.deepspeech import (
+        audio_to_input_vector,
+        extract_ds_features,
+        interpolate_features,
+        mfcc,
+    )
+
+    sr = 16000
+    t = np.arange(sr) / sr
+    audio = (0.3 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    m = mfcc(audio, sr, numcep=26)
+    assert m.shape[1] == 26 and np.isfinite(m).all()
+    # ~10ms hop -> ~100 frames/sec
+    assert 95 <= m.shape[0] <= 105
+
+    iv = audio_to_input_vector(audio, sr)
+    assert iv.shape[1] == 19 * 26  # (2*9+1) context windows
+    assert abs(iv.mean()) < 1e-6 and abs(iv.std() - 1) < 1e-6
+
+    feats = interpolate_features(np.arange(100, dtype=np.float64)[:, None], 50, 25, 50)
+    np.testing.assert_allclose(feats[:, 0], np.arange(50) * 2.0, atol=1e-9)
+
+    def fake_net(x):
+        return np.tile(x[:, None, :29].astype(np.float32), (1, 1, 1))
+
+    win = extract_ds_features(wav_file, net_fn=fake_net)
+    assert win.ndim == 3 and win.shape[1:] == (16, 29)
+    import os
+
+    assert os.path.exists(wav_file.replace(".wav", ".npy"))
