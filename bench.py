@@ -36,7 +36,8 @@ def build_scene(H_img=512, W_img=512):
                             compute_dtype="bfloat16")
     rc = RenderConfig(torso=True, exp_eye=True, max_steps=16,
                       dt_gamma=1.0 / 256, sample_capacity_mult=3,
-                      march_iters=32, ray_capacity_frac=0.375)
+                      march_iters=32, ray_capacity_frac=0.375,
+                      torso_capacity_frac=0.5)
     params = init_params(jax.random.PRNGKey(0), net_cfg)
     state = RendererState.create(rc)
 

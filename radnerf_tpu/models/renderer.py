@@ -72,6 +72,9 @@ class RenderConfig:
     # TPU: static capacity for occupied-bbox ray compaction, as a fraction of
     # the ray count; >= 1.0 disables ray compaction (all rays marched).
     ray_capacity_frac: float = 1.0
+    # TPU: static capacity for torso pixel compaction (fraction of pixels);
+    # None -> follow ray_capacity_frac.
+    torso_capacity_frac: Optional[float] = None
     # TPU: density-prior sample culling (see ops.marching.march_rays): drop
     # selected samples whose conservative transmittance bound from the EMA
     # density grid is already < cull_T (<< T_thresh, so the compositor's
@@ -485,7 +488,9 @@ def render_rays(
         occupancy = bilinear_sample_2d(state.density_grid_torso, bg_coords, cfg.grid_size)
         mask = occupancy > thresh_t
 
-        if cfg.ray_capacity_frac >= 1.0:
+        t_frac = (cfg.torso_capacity_frac if cfg.torso_capacity_frac is not None
+                  else cfg.ray_capacity_frac)
+        if t_frac >= 1.0:
             # evaluate the (tiny) torso MLPs on all pixels, mask the result —
             # masked-out pixels get alpha 0 either way (see SURVEY.md §7).
             t_alpha, t_color, deform = forward_torso(
@@ -497,7 +502,7 @@ def render_rays(
         else:
             # compact masked pixels (the reference's masked torso query,
             # renderer.py:285-293) at a static capacity
-            Rt = max(128, int(-(-N * cfg.ray_capacity_frac // 128)) * 128)
+            Rt = max(128, int(-(-N * t_frac // 128)) * 128)
             pos_t = jnp.cumsum(mask.astype(jnp.int32)) - 1
             ok_t = mask & (pos_t < Rt)
             slot_t = jnp.where(ok_t, pos_t, Rt)
@@ -514,6 +519,7 @@ def render_rays(
             t_alpha = back_t[:, :1]
             t_color = back_t[:, 1:4]
             results["deform"] = deform
+            results["n_torso_mask"] = jnp.sum(mask.astype(jnp.int32))
 
         bg_color = t_color * t_alpha + bg_color * (1.0 - t_alpha)
         results["torso_alpha"] = t_alpha
