@@ -14,9 +14,18 @@ Prints ONE JSON line.
 """
 
 import json
+import os
 import time
 
 import numpy as np
+
+# persistent XLA compile cache: first compile of the render graph takes
+# 5-15 minutes through this environment's remote-compile service; cached
+# runs start in seconds
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+)
 
 
 def build_scene(H_img=512, W_img=512):
