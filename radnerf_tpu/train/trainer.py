@@ -284,15 +284,33 @@ class Trainer:
         if want_mult > mult or (want_mult < mult and used < 0.35 * mult):
             mult = want_mult
 
-        if frac != rc.ray_capacity_frac or mult != rc.sample_capacity_mult:
+        # orbit length: the marched window is clipped to the occupied
+        # bounding sphere, so K only needs to cover its diameter (+margin),
+        # bucketed to multiples of 8
+        march_iters = rc.march_iters
+        radius = float(self.state.occ_sphere[3])
+        dt_min = rc.march_config().dt_min
+        want_k = min(
+            rc.march_config().n_march_iters if rc.march_iters is None else 10**9,
+            int(-(-(2.0 * radius / dt_min + 2) // 8)) * 8,
+        )
+        full_k = dataclasses.replace(rc, march_iters=None).march_config().n_march_iters
+        want_k = min(want_k, full_k)
+        if march_iters is None or want_k > march_iters or want_k < march_iters - 8:
+            march_iters = want_k
+
+        if (frac != rc.ray_capacity_frac or mult != rc.sample_capacity_mult
+                or march_iters != rc.march_iters):
             self.render_cfg = dataclasses.replace(
-                rc, ray_capacity_frac=frac, sample_capacity_mult=mult
+                rc, ray_capacity_frac=frac, sample_capacity_mult=mult,
+                march_iters=march_iters,
             )
             self._train_step_fn.clear()
             self._render_fn.clear()
             self.log(
                 f"[INFO] adapt capacities: ray_frac={frac:.3f} "
-                f"sample_mult={mult} (hits={n_hit}, samples={n_needed})"
+                f"sample_mult={mult} march_iters={march_iters} "
+                f"(hits={n_hit}, samples={n_needed}, occ_r={radius:.3f})"
             )
 
     def _get_render_fn(self):
