@@ -265,6 +265,11 @@ class Trainer:
         compiles stay bounded while capacities stay tight AND safe."""
         import dataclasses
 
+        # each bucket change recompiles the train step (minutes on this
+        # environment's remote-compile service) — cap the churn
+        self._adapt_count = getattr(self, "_adapt_count", 0)
+        if self._adapt_count >= 6:
+            return
         n_hit, n_needed = int(stats[0]), int(stats[1])
         rc = self.render_cfg
         R = max(128, int(-(-n_rays * min(rc.ray_capacity_frac, 1.0) // 128)) * 128)
@@ -307,6 +312,7 @@ class Trainer:
             )
             self._train_step_fn.clear()
             self._render_fn.clear()
+            self._adapt_count += 1
             self.log(
                 f"[INFO] adapt capacities: ray_frac={frac:.3f} "
                 f"sample_mult={mult} march_iters={march_iters} "
