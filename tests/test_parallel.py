@@ -37,11 +37,30 @@ def test_pad_to_multiple():
 
 
 def test_dp_train_step_matches_single_device():
-    """The sharded train step computes the same loss/update as unsharded
-    (XLA inserts the psum; numerics identical up to reduction order)."""
+    """The sharded train step computes the same loss AND the same updated
+    params as an unsharded run of the identical batch (XLA inserts the
+    psum; numerics match up to fp32 reduction order)."""
     import __graft_entry__ as g
 
-    # dryrun exercises the full train step over the mesh
+    loss8, params8 = g._dp_train_step(n_rays=512, mesh_size=8)
+    loss1, params1 = g._dp_train_step(n_rays=512, mesh_size=1)
+
+    np.testing.assert_allclose(float(loss8), float(loss1), rtol=1e-5)
+    leaves8 = jax.tree_util.tree_leaves_with_path(params8)
+    leaves1 = jax.tree_util.tree_leaves(params1)
+    assert len(leaves8) == len(leaves1) > 0
+    for (path, l8), l1 in zip(leaves8, leaves1):
+        np.testing.assert_allclose(
+            np.asarray(l8), np.asarray(l1), rtol=1e-4, atol=1e-6,
+            err_msg=f"param mismatch at {jax.tree_util.keystr(path)}",
+        )
+
+
+def test_dryrun_multichip_entry():
+    """The driver-facing dryrun entry runs green in-process (the conftest
+    already pinned CPU + 8 host devices, so the self-pin is a no-op)."""
+    import __graft_entry__ as g
+
     g.dryrun_multichip(8)
 
 
