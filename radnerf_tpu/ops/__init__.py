@@ -19,7 +19,7 @@ from .marching import (
     occupancy_lookup,
 )
 from .encoding import get_encoder
-from .morton import morton3d, morton3d_invert, morton_dilate, packbits
+from .morton import morton3d, morton3d_invert, morton_dilate, packbits, unpackbits
 from .ray_aabb import near_far_from_aabb
 from .sampling import sample_pdf, sph_from_ray
 from .sh_encode import sh_encode, sh_output_dim
@@ -47,6 +47,7 @@ __all__ = [
     "morton3d_invert",
     "morton_dilate",
     "packbits",
+    "unpackbits",
     "near_far_from_aabb",
     "sh_encode",
     "sh_output_dim",

@@ -68,6 +68,16 @@ def packbits(grid: jnp.ndarray, thresh) -> jnp.ndarray:
     return jnp.sum(occ << shifts, axis=-1).astype(jnp.uint8)
 
 
+def unpackbits(bitfield: jnp.ndarray, cascade: int, grid_size: int) -> jnp.ndarray:
+    """Inverse of ``packbits``: bitfield uint8 [C*H^3//8] -> occupancy
+    uint8 {0,1} [C, H^3] in Morton order. Used to reconstruct render
+    acceleration state from checkpoints that retain only the bitfield
+    (the reference's best-style ckpts, nerf/utils.py:1353-1355)."""
+    shifts = jnp.arange(8, dtype=jnp.uint8)
+    bits = (bitfield[:, None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(cascade, grid_size**3)
+
+
 def morton_dilate(grid: jnp.ndarray, H: int) -> jnp.ndarray:
     """6-neighbour max over a Morton-ordered density grid [C, H^3].
 

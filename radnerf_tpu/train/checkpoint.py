@@ -78,6 +78,13 @@ def save_checkpoint(
             "mean_density": renderer_state.mean_density,
             "density_grid_torso": renderer_state.density_grid_torso,
             "mean_density_torso": renderer_state.mean_density_torso,
+            # acceleration state: cheap (1 byte/cell + 10 floats) and makes
+            # grid-less "best" checkpoints render exactly on load — the
+            # analogue of the reference KEEPING density_bitfield while
+            # dropping density_grid (nerf/utils.py:1353-1355)
+            "sigma_bytes": renderer_state.sigma_bytes,
+            "occ_bbox": renderer_state.occ_bbox,
+            "occ_sphere": renderer_state.occ_sphere,
         }
         if include_grid:
             st["density_grid"] = renderer_state.density_grid
@@ -203,6 +210,34 @@ def import_torch_checkpoint(path: str) -> Tuple[dict, dict, dict]:
         "mean_density_torso": float(ckpt.get("mean_density_torso", 0.0)),
     }
     return params, state, meta
+
+
+def restore_opt_state(template, opt_flat: dict):
+    """Rebuild an optax state pytree from the flat 'opt/' checkpoint group.
+
+    ``template`` is ``tx.init(params)`` for the CURRENT param tree; saved
+    leaves are matched by the same path-key scheme ``_flatten`` used at save
+    time. Leaves that are missing or shape-mismatched (e.g. a torso-stage
+    trainer resuming from a head-stage checkpoint) keep the template value —
+    the strict=False analogue of the reference's try/except optimizer
+    restore (nerf/utils.py:1406-1419)."""
+
+    def rebuild(node, prefix=""):
+        if isinstance(node, dict):
+            return {k: rebuild(v, f"{prefix}{k}/") for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            vals = [rebuild(v, f"{prefix}{i}/") for i, v in enumerate(node)]
+            if isinstance(node, tuple):
+                # preserve NamedTuple subclasses (optax states)
+                return type(node)(*vals) if hasattr(node, "_fields") else tuple(vals)
+            return vals
+        key = prefix[:-1]
+        saved = opt_flat.get(key)
+        if saved is not None and np.shape(saved) == np.shape(node):
+            return jnp.asarray(saved, dtype=getattr(node, "dtype", None))
+        return node
+
+    return rebuild(template)
 
 
 def merge_imported(params: dict, imported: dict) -> Tuple[dict, list]:

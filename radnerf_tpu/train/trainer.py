@@ -688,7 +688,7 @@ class Trainer:
             self.log(f"[INFO] imported torch checkpoint ({len(loaded)} groups).")
             self.opt_state = self.tx.init(self.params)
             return
-        params, state, ema, _opt, meta = ckpt_lib.load_checkpoint(path)
+        params, state, ema, opt_flat, meta = ckpt_lib.load_checkpoint(path)
         if params is not None:
             self.params, _ = ckpt_lib.merge_imported(self.params, params)
         if state is not None:
@@ -701,6 +701,11 @@ class Trainer:
             self.epoch = int(meta.get("epoch", 0))
             self.global_step = int(meta.get("global_step", 0))
         self.opt_state = self.tx.init(self.params)
+        if opt_flat is not None and not model_only:
+            # resume Adam moments + the schedule's internal step so the LR
+            # does not jump back to the undecayed base (utils.py:1406-1419)
+            self.opt_state = ckpt_lib.restore_opt_state(self.opt_state, opt_flat)
+            self.log("[INFO] restored optimizer state.")
         self.log(f"[INFO] loaded checkpoint {path} (epoch {self.epoch}).")
 
     def _apply_state_arrays(self, arrays: dict, meta: dict):
@@ -724,17 +729,56 @@ class Trainer:
                 meta.get("mean_density_torso", 0.0), jnp.float32
             ),
         )
-        # rebuild the acceleration structures (occupied bbox + sigma bytes)
-        if "density_grid" in arrays:
-            from ..models.renderer import compute_occ_bbox, compute_occ_sphere
-            from ..ops.marching import build_sigma_bytes
+        # rebuild the acceleration structures (occupied bbox/sphere + fused
+        # occ|log-sigma bytes) the marcher renders from
+        from ..models.renderer import compute_occ_bbox, compute_occ_sphere
+        from ..ops.marching import build_sigma_bytes
+        from ..ops.morton import unpackbits
 
-            thresh = jnp.minimum(st.mean_density, self.render_cfg.density_thresh)
+        rc = self.render_cfg
+        if "density_grid" in arrays:
+            # exact rebuild from the float grid
+            thresh = jnp.minimum(st.mean_density, rc.density_thresh)
             st = st.replace(
-                occ_bbox=compute_occ_bbox(self.render_cfg, st.density_grid, thresh),
-                occ_sphere=compute_occ_sphere(self.render_cfg, st.density_grid, thresh),
+                occ_bbox=compute_occ_bbox(rc, st.density_grid, thresh),
+                occ_sphere=compute_occ_sphere(rc, st.density_grid, thresh),
                 sigma_bytes=build_sigma_bytes(st.density_grid, thresh),
             )
+        else:
+            # grid-less "best"-style checkpoint (reference drops density_grid
+            # but keeps density_bitfield, nerf/utils.py:1353-1355, and renders
+            # fine from it). Restore sigma_bytes directly when saved;
+            # otherwise synthesize from the bitfield: occupied cells get the
+            # MINIMUM 7-bit sigma code (byte 128|1) so the density-prior
+            # transmittance cull is a no-op — conservative, never drops work.
+            if "sigma_bytes" in arrays:
+                st = st.replace(
+                    sigma_bytes=jnp.asarray(arrays["sigma_bytes"], jnp.uint8)
+                    .reshape(st.sigma_bytes.shape)
+                )
+            elif "density_bitfield" in arrays:
+                occ = unpackbits(
+                    st.density_bitfield, rc.cascade, rc.grid_size
+                ).reshape(-1)
+                st = st.replace(
+                    sigma_bytes=jnp.where(
+                        occ > 0, jnp.uint8(129), jnp.uint8(0)
+                    )
+                )
+            if "occ_bbox" in arrays and "occ_sphere" in arrays:
+                st = st.replace(
+                    occ_bbox=jnp.asarray(arrays["occ_bbox"], jnp.float32),
+                    occ_sphere=jnp.asarray(arrays["occ_sphere"], jnp.float32),
+                )
+            elif "sigma_bytes" in arrays or "density_bitfield" in arrays:
+                # derive the ray-clip windows from the occupied bits
+                occ01 = (st.sigma_bytes >= 128).reshape(
+                    rc.cascade, rc.grid_size**3
+                ).astype(jnp.float32)
+                st = st.replace(
+                    occ_bbox=compute_occ_bbox(rc, occ01, 0.5),
+                    occ_sphere=compute_occ_sphere(rc, occ01, 0.5),
+                )
         self.state = st
 
     # freeze head keys after importing a head checkpoint for the torso stage
