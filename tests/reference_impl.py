@@ -71,6 +71,69 @@ def ref_grid_encode(inputs01, embeddings, spec):
     return out.reshape(B, L * C)
 
 
+# ----------------------------------------------------------------- sh encode
+def ref_sh_encode4(d):
+    """shencoder.cu:27-80 kernel_sh, degree 4 (the shipped dir encoder).
+
+    d: [B, 3] -> [B, 16], literal transcription of the hard-coded
+    polynomials (coefficients verbatim)."""
+    x, y, z = d[:, 0], d[:, 1], d[:, 2]
+    xy, xz, yz = x * y, x * z, y * z
+    x2, y2, z2 = x * x, y * y, z * z
+    out = np.stack(
+        [
+            np.full_like(x, 0.28209479177387814),
+            -0.48860251190291987 * y,
+            0.48860251190291987 * z,
+            -0.48860251190291987 * x,
+            1.0925484305920792 * xy,
+            -1.0925484305920792 * yz,
+            0.94617469575755997 * z2 - 0.31539156525251999,
+            -1.0925484305920792 * xz,
+            0.54627421529603959 * x2 - 0.54627421529603959 * y2,
+            0.59004358992664352 * y * (-3.0 * x2 + y2),
+            2.8906114426405538 * xy * z,
+            0.45704579946446572 * y * (1.0 - 5.0 * z2),
+            0.3731763325901154 * z * (5.0 * z2 - 3.0),
+            0.45704579946446572 * x * (1.0 - 5.0 * z2),
+            1.4453057213202769 * z * (x2 - y2),
+            0.59004358992664352 * x * (-x2 + 3.0 * y2),
+        ],
+        axis=-1,
+    )
+    return out
+
+
+# --------------------------------------------------------------- freq encode
+def ref_freq_encode(x, deg):
+    """freqencoder.cu:30-57 kernel_freq: [B, D] -> [B, D + 2*D*deg];
+    column c < D is identity, then col = c/D - 1, freq = col/2,
+    phase = (col % 2) * pi/2: sin(2^freq * x + phase)."""
+    B, D = x.shape
+    cols = [x]
+    for col in range(2 * deg):
+        freq = col // 2
+        phase = (col % 2) * (math.pi / 2)
+        cols.append(np.sin((2.0**freq) * x + phase))
+    return np.concatenate(cols, axis=-1)
+
+
+# ------------------------------------------------------------ field networks
+def ref_mlp(layers, h):
+    """network.py:69-88 MLP: bias-free Linear stack, ReLU between layers,
+    none after the last. ``layers`` are our imported [{'w': [in, out]}]."""
+    for li, layer in enumerate(layers):
+        h = h @ np.asarray(layer["w"], np.float64)
+        if li < len(layers) - 1:
+            h = np.maximum(h, 0.0)
+    return h
+
+
+def ref_trunc_exp(x):
+    """activation.py:5-18: exp with clamped input."""
+    return np.exp(np.clip(x, -15.0, 15.0))
+
+
 # -------------------------------------------------------------------- marcher
 def _morton3d(x, y, z):
     def expand(v):
