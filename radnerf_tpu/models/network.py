@@ -44,15 +44,6 @@ from ..ops import (
     sh_encode,
     trunc_exp,
 )
-
-
-def _encode(x, embeddings, spec: GridSpec, bound: float):
-    """Grid encode via the corner-packed fast path (one gather row per
-    point-level) for tiled grids; plain per-corner gathers otherwise."""
-    if spec.gridtype == "tiled":
-        packed = build_packed_table(embeddings, spec)
-        return grid_encode_packed(x, packed, spec, bound)
-    return grid_encode(x, embeddings, spec, bound)
 from .audio import (
     audio_att_net_apply,
     audio_att_net_init,
@@ -60,6 +51,17 @@ from .audio import (
     audio_net_init,
 )
 from .modules import mlp_apply, mlp_init
+
+
+def _encode(x, embeddings, spec: GridSpec, bound: float, table_dtype=None):
+    """Grid encode via the corner-packed fast path (one gather row per
+    point-level, per-level VMEM-sized tables) for tiled grids; plain
+    per-corner gathers otherwise. ``table_dtype=bfloat16`` halves row bytes
+    (the fp16-AMP analogue; interpolation stays fp32)."""
+    if spec.gridtype == "tiled":
+        packed = build_packed_table(embeddings, spec, dtype=table_dtype)
+        return grid_encode_packed(x, packed, spec, bound)
+    return grid_encode(x, embeddings, spec, bound)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -148,6 +150,13 @@ class NetworkConfig:
     def dtype(self):
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
 
+    @property
+    def table_dtype(self):
+        """Grid-table storage dtype: bf16 under the fp16/-O policy (the
+        reference's AMP runs its grid encoders in half precision too,
+        main.py:111-113); fp32 otherwise. Halves gather row bytes."""
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+
 
 def init_params(key: jax.Array, cfg: NetworkConfig) -> dict:
     """Build the full parameter pytree."""
@@ -217,7 +226,8 @@ def encode_audio(params: dict, cfg: NetworkConfig, a: Optional[jax.Array]) -> Op
 def _spatial_and_ambient(params, cfg: NetworkConfig, x, enc_a):
     """Shared trunk of forward/density (network.py:233-252)."""
     dt = cfg.dtype
-    enc_x = _encode(x, params["encoder"], cfg.grid_spec, cfg.bound)
+    enc_x = _encode(x, params["encoder"], cfg.grid_spec, cfg.bound,
+                    table_dtype=cfg.table_dtype)
     if enc_a is None:
         ambient = jnp.zeros((*x.shape[:-1], cfg.ambient_dim), jnp.float32)
     else:
@@ -225,7 +235,8 @@ def _spatial_and_ambient(params, cfg: NetworkConfig, x, enc_a):
         h = jnp.concatenate([enc_x.astype(dt), a.astype(dt)], axis=-1)
         ambient = mlp_apply(params["ambient_net"], h, dt).astype(jnp.float32)
         ambient = jnp.tanh(ambient)  # [-1, 1]^amb_dim
-    enc_w = _encode(ambient, params["encoder_ambient"], cfg.ambient_spec, 1.0)
+    enc_w = _encode(ambient, params["encoder_ambient"], cfg.ambient_spec, 1.0,
+                    table_dtype=cfg.table_dtype)
     return enc_x, enc_w, ambient
 
 
@@ -294,7 +305,8 @@ def forward_torso(params, cfg: NetworkConfig, x, pose6, c=None):
     h = jnp.concatenate(parts, axis=-1)
     dx = mlp_apply(params["torso_deform_net"], h.astype(dt), dt).astype(jnp.float32)
     xp = jnp.clip(x + dx, -1.0, 1.0)
-    enc_t = _encode(xp, params["torso_encoder"], cfg.torso_spec, 1.0)
+    enc_t = _encode(xp, params["torso_encoder"], cfg.torso_spec, 1.0,
+                     table_dtype=cfg.table_dtype)
     h2 = jnp.concatenate([enc_t.astype(dt), h.astype(dt)], axis=-1)
     h2 = mlp_apply(params["torso_net"], h2, dt).astype(jnp.float32)
     alpha = jax.nn.sigmoid(h2[..., :1])

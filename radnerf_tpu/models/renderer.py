@@ -72,6 +72,12 @@ class RenderConfig:
     # TPU: static capacity for occupied-bbox ray compaction, as a fraction of
     # the ray count; >= 1.0 disables ray compaction (all rays marched).
     ray_capacity_frac: float = 1.0
+    # TPU: width of the per-ray sample lattice (a capacity, NOT a semantic
+    # knob — dt derives from max_steps alone). None -> max_steps. The
+    # density-prior cull bounds real counts far below max_steps on converged
+    # scenes (telemetry n_max_count); a tight lattice halves the marcher's
+    # selection, the compacted return trip, and compositing.
+    sample_slots: Optional[int] = None
     # TPU: static capacity for torso pixel compaction (fraction of pixels);
     # None -> follow ray_capacity_frac.
     torso_capacity_frac: Optional[float] = None
@@ -98,6 +104,7 @@ class RenderConfig:
             max_steps=self.max_steps,
             dt_gamma=self.dt_gamma,
             march_iters=self.march_iters,
+            sample_slots=self.sample_slots,
         )
 
     @staticmethod
@@ -297,8 +304,14 @@ def _eval_field_compacted(params, net_cfg, march, rays_d, enc_a, ind_code, eye, 
     width = 1 + 3 + amb_dim
     packed = jnp.concatenate([sigma_c[:, None], color_c, ambient_c], axis=-1)
     packed = jnp.where(in_range[:, None], packed, 0.0)
+    # under the bf16 policy halve the return-trip row bytes (the values are
+    # field outputs the reference computes in fp16 AMP anyway)
+    if net_cfg.dtype == jnp.bfloat16:
+        packed = packed.astype(jnp.bfloat16)
     # pad S rows so every slab read stays in bounds
-    packed = jnp.concatenate([packed, jnp.zeros((S, width))], axis=0)
+    packed = jnp.concatenate(
+        [packed, jnp.zeros((S, width), packed.dtype)], axis=0
+    )
 
     # slab gather back: lattice[n, s] = packed[base_n + s]. Expressed as S
     # plain row gathers of N rows each (XLA/TPU lowers slice_sizes gathers
@@ -306,7 +319,7 @@ def _eval_field_compacted(params, net_cfg, march, rays_d, enc_a, ind_code, eye, 
     base_c = jnp.clip(base, 0, capacity)
     back = jnp.stack(
         [packed[base_c + s] for s in range(S)], axis=1
-    )  # [N, S, width]
+    ).astype(jnp.float32)  # [N, S, width]
 
     kept = valid & ((base[:, None] + jnp.arange(S)[None, :]) < capacity)
     back = jnp.where(kept[..., None], back, 0.0)
@@ -415,6 +428,7 @@ def render_rays(
         )
         # samples the marcher wanted (pre-capacity), for adaptive sizing
         comp["n_samples_needed"] = jnp.sum(march["valid"].astype(jnp.int32))
+        comp["max_count"] = march["max_count"]
         return comp
 
     # capacity telemetry (the reference's step_counter/mean_count stats,
@@ -428,6 +442,7 @@ def render_rays(
         image = jnp.where(hit[:, None], comp["image"], 0.0)
         ambient_sum = jnp.where(hit, comp["ambient_sum"], 0.0)
         results["n_samples_needed"] = comp["n_samples_needed"]
+        results["n_max_count"] = comp["max_count"]
     else:
         # ray compaction: march/evaluate only rays whose interval intersects
         # the occupied bbox (the TPU analogue of the reference's alive-ray
@@ -438,20 +453,23 @@ def render_rays(
         ray_idx = jnp.zeros((R,), jnp.int32).at[slot].set(
             jnp.arange(N, dtype=jnp.int32), mode="drop"
         )
-        packed_rays = jnp.concatenate(
+        # three narrow gathers (2x12B + 1x24B rows from small tables) beat
+        # one wide gather from a 12-column concat: the concat itself cost
+        # ~1.7 ms/frame and the 48B rows gathered ~6x slower (PERFORMANCE.md)
+        scalars = jnp.stack(
             [
-                rays_o, rays_d, nears[:, None], fars[:, None],
-                t_lo[:, None], t_hi[:, None],
-                (noises if noises is not None else jnp.zeros_like(nears))[:, None],
-                hit[:, None].astype(jnp.float32),
+                nears, fars, t_lo, t_hi,
+                noises if noises is not None else jnp.zeros_like(nears),
+                hit.astype(jnp.float32),
             ],
             axis=-1,
-        )[ray_idx]  # [R, 12]
-        c_hit = packed_rays[:, 11] > 0
+        )[ray_idx]  # [R, 6]
+        o_c = rays_o[ray_idx]
+        d_c = rays_d[ray_idx]
+        c_hit = scalars[:, 5] > 0
         comp_c = run_head(
-            packed_rays[:, 0:3], packed_rays[:, 3:6], packed_rays[:, 6],
-            packed_rays[:, 7], packed_rays[:, 8], packed_rays[:, 9],
-            packed_rays[:, 10] if noises is not None else None,
+            o_c, d_c, scalars[:, 0], scalars[:, 1], scalars[:, 2],
+            scalars[:, 3], scalars[:, 4] if noises is not None else None,
         )
         out_c = jnp.concatenate(
             [
@@ -468,6 +486,7 @@ def render_rays(
         weights_sum = back[:, 4]
         ambient_sum = back[:, 5]
         results["n_samples_needed"] = comp_c["n_samples_needed"]
+        results["n_max_count"] = comp_c["max_count"]
 
     comp = {"weights_sum": weights_sum, "depth": depth_raw,
             "image": image, "ambient_sum": ambient_sum}

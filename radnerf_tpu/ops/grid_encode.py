@@ -228,26 +228,37 @@ def _active_strides(spec: GridSpec, level: int) -> list[int]:
     return strides
 
 
-def build_packed_table(embeddings: jax.Array, spec: GridSpec) -> jax.Array:
-    """Corner-packed table: one row per cell key holding all 2^D corner
-    features.
+def build_packed_table(
+    embeddings: jax.Array, spec: GridSpec, dtype=None
+) -> tuple:
+    """Corner-packed PER-LEVEL tables: one row per cell key holding all 2^D
+    corner features of that cell.
 
-    TPU-native design note: XLA/TPU gather cost is per ROW (width up to ~32
-    floats is free), so fetching a trilinear cell as one wide row instead of
-    2^D separate rows is a 2^D-fold reduction in gather work — the dominant
-    cost of grid encoding on TPU. This exploits a property of TILED grids
-    (gridtype='tiled', the only kind RAD-NeRF uses, network.py:133-134,165):
-    the vertex index is additive mod T in the cell coordinates
-    (index = (sum_d coord_d * stride_d) % T, gridencoder.cu:66-84, with no
-    uint32 wrap for these table sizes), so corner c of the cell with key k
-    lives at (k + delta_c) % T with a FIXED per-level offset delta_c — i.e.
-    the packed table is just 2^D circular rolls of the vertex table,
-    concatenated. Rolls are cheap, bandwidth-bound, and differentiable, so
-    the packing is rebuilt inside the train step and gradients flow back to
-    the canonical table automatically.
+    TPU-native design notes (both measured on v5e, see PERFORMANCE.md):
+    - XLA/TPU gather cost is per ROW (width up to ~32 floats is nearly
+      free), so fetching a trilinear cell as one wide row instead of 2^D
+      separate rows is a 2^D-fold reduction in gather work — the dominant
+      cost of grid encoding on TPU. This exploits a property of TILED grids
+      (gridtype='tiled', the only kind RAD-NeRF uses, network.py:133-134,
+      165): the vertex index is additive mod T in the cell coordinates
+      (index = (sum_d coord_d * stride_d) % T, gridencoder.cu:66-84), so
+      corner c of the cell with key k lives at (k + delta_c) % T with a
+      FIXED per-level offset delta_c — the packed level table is just 2^D
+      circular rolls of the level's vertex table.
+    - gather throughput depends on the OPERAND SIZE: a <=4 MB table gathers
+      ~1.8x faster than one monolithic 58 MB table (it stays VMEM-resident).
+      Hence one packed array PER LEVEL (each <=4 MB for the shipped config)
+      instead of a single concatenated table.
+    - ``dtype=bfloat16`` halves the row bytes again (interpolation still
+      runs in fp32 after the fetch) — the analogue of the reference running
+      its grid encoders under fp16 AMP (-O bundle, main.py:111-113).
 
-    Returns [n_embeddings, 2^D * C]: rows of level ℓ occupy the same offset
-    range as in the flat table; row k(+offset) = concat_c V[(k + delta_c^l) % T_l].
+    Rolls/casts are cheap, bandwidth-bound, and differentiable, so packing
+    is rebuilt inside the train step and gradients flow back to the
+    canonical fp32 table automatically.
+
+    Returns a tuple of per-level arrays [T_l, 2^D * C]; entry k of level l
+    is concat_c V[offs_l + (k + delta_c^l) % T_l].
     """
     if spec.gridtype != "tiled":
         raise ValueError("corner packing requires a tiled grid (hash indices are not additive)")
@@ -261,17 +272,21 @@ def build_packed_table(embeddings: jax.Array, spec: GridSpec) -> jax.Array:
         for corner in range(1 << D):
             delta = sum(strides[d] for d in range(D) if (corner >> d) & 1)
             corners.append(jnp.roll(seg, -delta % seg.shape[0], axis=0))
-        per_level.append(jnp.concatenate(corners, axis=-1))
-    return jnp.concatenate(per_level, axis=0)
+        lvl = jnp.concatenate(corners, axis=-1)
+        per_level.append(lvl if dtype is None else lvl.astype(dtype))
+    return tuple(per_level)
 
 
 def grid_encode01_packed(
-    inputs01: jax.Array, packed: jax.Array, spec: GridSpec
+    inputs01: jax.Array, packed: tuple, spec: GridSpec
 ) -> jax.Array:
-    """Encode via the corner-packed table: ONE gather row per (point, level).
+    """Encode via the corner-packed per-level tables: ONE gather row per
+    (point, level), each from its own (VMEM-sized) level table.
 
-    Numerically identical to grid_encode01 for tiled grids (same fp32
-    position math, same index rule, same OOB-to-zero behavior).
+    Numerically identical to grid_encode01 for tiled grids when the tables
+    are fp32 (same fp32 position math, same index rule, same OOB-to-zero
+    behavior); bf16 tables quantize only the stored corner values —
+    interpolation still runs in fp32.
     """
     D = spec.input_dim
     C = spec.level_dim
@@ -299,10 +314,8 @@ def grid_encode01_packed(
                 key = key + pg[..., d] * jnp.uint32(strides[d])
         key = key % jnp.uint32(hashmap_size)
 
-        rows = jnp.take(
-            packed, (key + jnp.uint32(offs[level])).astype(jnp.int32), axis=0
-        )  # [..., 2^D * C]
-        rows = rows.reshape(*rows.shape[:-1], n_corners, C)
+        rows = jnp.take(packed[level], key.astype(jnp.int32), axis=0)
+        rows = rows.astype(jnp.float32).reshape(*rows.shape[:-1], n_corners, C)
 
         # trilinear weights, corner-major to match packing order
         w = jnp.ones((*x.shape[:-1], 1), jnp.float32)

@@ -244,7 +244,8 @@ class Trainer:
                         lpips_weight=0.01 if opt.finetune_lips else 0.001,
                     )
                 stats = jnp.stack(
-                    [results["n_hit"], results["n_samples_needed"]]
+                    [results["n_hit"], results["n_samples_needed"],
+                     results["n_max_count"]]
                 )
                 return loss, (stats, state2)
 
@@ -272,6 +273,7 @@ class Trainer:
             return
         n_hit, n_needed = int(stats[0]), int(stats[1])
         rc = self.render_cfg
+        n_max = int(stats[2]) if stats.shape[0] > 2 else rc.max_steps
         R = max(128, int(-(-n_rays * min(rc.ray_capacity_frac, 1.0) // 128)) * 128)
 
         # ray capacity: keep hits within [40%, 85%] of R (buckets of 1/8)
@@ -304,11 +306,22 @@ class Trainer:
         if march_iters is None or want_k > march_iters or want_k < march_iters - 8:
             march_iters = want_k
 
+        # sample-lattice width: grow when the marcher saturates it (clipped
+        # counts read as == slots), shrink when real counts leave >= 4 slack
+        # (buckets of 4; dt semantics are untouched — they derive from
+        # max_steps alone)
+        slots = rc.sample_slots if rc.sample_slots is not None else rc.max_steps
+        if n_max >= slots and slots < rc.max_steps:
+            slots = min(rc.max_steps, slots + 4)
+        elif n_max + 1 <= slots - 4:
+            slots = max(4, int(-(-(n_max + 1) // 4)) * 4)
+
         if (frac != rc.ray_capacity_frac or mult != rc.sample_capacity_mult
-                or march_iters != rc.march_iters):
+                or march_iters != rc.march_iters
+                or slots != rc.sample_slots):
             self.render_cfg = dataclasses.replace(
                 rc, ray_capacity_frac=frac, sample_capacity_mult=mult,
-                march_iters=march_iters,
+                march_iters=march_iters, sample_slots=slots,
             )
             self._train_step_fn.clear()
             self._render_fn.clear()
@@ -316,7 +329,9 @@ class Trainer:
             self.log(
                 f"[INFO] adapt capacities: ray_frac={frac:.3f} "
                 f"sample_mult={mult} march_iters={march_iters} "
-                f"(hits={n_hit}, samples={n_needed}, occ_r={radius:.3f})"
+                f"sample_slots={slots} "
+                f"(hits={n_hit}, samples={n_needed}, max_count={n_max}, "
+                f"occ_r={radius:.3f})"
             )
 
     def _get_render_fn(self):

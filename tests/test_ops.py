@@ -143,6 +143,21 @@ def test_grid_encode_packed_matches_unpacked(input_dim):
     gip = jax.grad(lambda v: jnp.sum(grid_encode01_packed(v, packed, spec)))(x)
     np.testing.assert_allclose(np.asarray(gip), np.asarray(giu), rtol=3e-4, atol=1e-6)
 
+    # bf16 tables (the fp16-AMP analogue used under -O): values match up to
+    # the bf16 quantization of the stored corners, gradients stay finite
+    packed_bf16 = build_packed_table(emb, spec, dtype=jnp.bfloat16)
+    got_b = grid_encode01_packed(x, packed_bf16, spec)
+    assert got_b.dtype == jnp.float32  # lerp runs fp32 after the fetch
+    np.testing.assert_allclose(
+        np.asarray(got_b), np.asarray(want), rtol=1e-2, atol=2e-2
+    )
+    gb = jax.grad(
+        lambda e: jnp.sum(
+            grid_encode01_packed(x, build_packed_table(e, spec, jnp.bfloat16), spec) ** 2
+        )
+    )(emb)
+    assert np.isfinite(np.asarray(gb)).all()
+
 
 def test_sh_encode_basic():
     d = np.array([[0.0, 0.0, 1.0], [1.0, 0.0, 0.0], [0.577, 0.577, 0.577]], np.float32)
