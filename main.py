@@ -53,6 +53,9 @@ def build_parser():
     p.add_argument("--patch_size", type=int, default=1)
     p.add_argument("--finetune_lips", action="store_true")
     p.add_argument("--smooth_lips", action="store_true")
+    p.add_argument("--lpips_weights", type=str, default="",
+                   help="LPIPS-alex calibration file (npz or torch) for the "
+                        "perceptual loss / eval metric")
     p.add_argument("--torso", action="store_true")
     p.add_argument("--head_ckpt", type=str, default="")
     p.add_argument("--gui", action="store_true")
@@ -117,7 +120,7 @@ def main():
     from radnerf_tpu.train import LPIPSMeter, PSNRMeter, Trainer
 
     if opt.test:
-        metrics = [] if opt.gui else [PSNRMeter(), LPIPSMeter()]
+        metrics = [] if opt.gui else [PSNRMeter(), LPIPSMeter(weights_path=opt.lpips_weights)]
         try:
             from radnerf_tpu.train import LMDMeter
 
@@ -152,7 +155,7 @@ def main():
         f"dataset has {len(train_ds)} frames, increase --ind_num"
     )
     eval_interval = max(1, int(5000 / len(train_ds)))
-    trainer = Trainer("ngp", opt, metrics=[PSNRMeter(), LPIPSMeter()],
+    trainer = Trainer("ngp", opt, metrics=[PSNRMeter(), LPIPSMeter(weights_path=opt.lpips_weights)],
                       workspace=opt.workspace, ema_decay=0.95,
                       eval_interval=eval_interval, use_checkpoint=opt.ckpt)
     # torso stage: import + freeze head (main.py:142-157)

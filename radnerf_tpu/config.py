@@ -56,6 +56,10 @@ class Options:
 
     finetune_lips: bool = False
     smooth_lips: bool = False
+    # path to LPIPS-alex calibration weights (npz or torch file; see
+    # LPIPS.load_weights_file) — empty means uncalibrated random filters,
+    # which the Trainer warns about when a perceptual loss is active
+    lpips_weights: str = ""
 
     torso: bool = False
     head_ckpt: str = ""

@@ -38,9 +38,12 @@ def head_loss(
     loss = jnp.mean((pred - rgb_gt) ** 2)
 
     if lpips_fn is not None and lpips_shape is not None:
+        # lips-rect mode: the whole batch is one h*w rect -> [1, h, w, 3];
+        # patch mode (patch_size > 1, utils.py:757-781): the batch is
+        # num_rays/(p*p) row-major p x p patches -> [B, p, p, 3]
         h, w = lpips_shape
         loss = loss + lpips_weight * jnp.mean(
-            lpips_fn(pred.reshape(1, h, w, 3), rgb_gt.reshape(1, h, w, 3))
+            lpips_fn(pred.reshape(-1, h, w, 3), rgb_gt.reshape(-1, h, w, 3))
         )
 
     loss = loss + 1e-4 * jnp.mean(binary_entropy(results["weights_sum"]))

@@ -140,6 +140,42 @@ class LPIPS:
         self.params = {"convs": convs, "lins": lins}
         self.calibrated = True
 
+    def load_weights_file(self, path: str):
+        """Load calibration weights from a single file.
+
+        Accepted formats (the reference's ``lpips`` pip package fetches the
+        torchvision alexnet + its ``lin`` calibration heads at runtime; in a
+        hermetic environment the user supplies them as one file):
+
+        - ``.npz``: keys ``features.{0,3,6,8,10}.{weight,bias}`` (alexnet
+          convs) + ``lin{0..4}.model.1.weight`` (calibration),
+        - torch ``.pth``/``.pt``: either ``{"alexnet": sd, "lpips": sd}``
+          nested state dicts, or one flat dict carrying both key families.
+        """
+        if path.endswith(".npz"):
+            blob = dict(np.load(path))
+            alex = {k: v for k, v in blob.items() if k.startswith("features.")}
+            lin = {k: v for k, v in blob.items() if k.startswith("lin")}
+        else:
+            import torch
+
+            blob = torch.load(path, map_location="cpu", weights_only=False)
+            if "alexnet" in blob and "lpips" in blob:
+                alex, lin = blob["alexnet"], blob["lpips"]
+            else:
+                alex = {k: v for k, v in blob.items() if k.startswith("features.")}
+                lin = {k: v for k, v in blob.items() if k.startswith("lin")}
+            alex = {k: np.asarray(v.detach() if hasattr(v, "detach") else v)
+                    for k, v in alex.items()}
+            lin = {k: np.asarray(v.detach() if hasattr(v, "detach") else v)
+                   for k, v in lin.items()}
+        if not alex or not lin:
+            raise ValueError(
+                f"{path}: expected alexnet 'features.*' and lpips 'lin*' keys, "
+                f"got {sorted(blob)[:6]}..."
+            )
+        self.load_torch_weights(alex, lin)
+
     def __call__(self, a, b):
         """a, b: [B, H, W, 3] in [0, 1] -> [B] distances. Differentiable."""
         return _lpips_distance(self.params, a, b)
@@ -153,8 +189,10 @@ class LPIPS:
 class LPIPSMeter:
     """LPIPS over full frames (utils.py:438-472)."""
 
-    def __init__(self, seed: int = 0):
+    def __init__(self, seed: int = 0, weights_path: str = ""):
         self.lpips = LPIPS(seed)
+        if weights_path:
+            self.lpips.load_weights_file(weights_path)
         self.clear()
 
     def clear(self):

@@ -132,6 +132,13 @@ class Trainer:
 
         # in-graph perceptual loss for lips finetune / patch training
         self.lpips = LPIPS() if (opt.finetune_lips or opt.patch_size > 1) else None
+        if 1 < opt.patch_size < 32:
+            # alex-LPIPS needs >= 32 px: smaller inputs produce empty feature
+            # maps mid-stack (NaN here, a hard error in torch lpips)
+            raise ValueError(
+                f"patch_size={opt.patch_size}: patch-based perceptual training "
+                f"requires patch_size >= 32 (alex-LPIPS receptive field)"
+            )
 
         # optional data parallelism over the device mesh: params/state
         # replicated, ray batches sharded; XLA inserts the gradient psum
@@ -168,12 +175,28 @@ class Trainer:
         n_params = sum(p.size for p in jax.tree_util.tree_leaves(self.params))
         self.log(f"[INFO] #parameters: {n_params}")
 
+        if self.lpips is not None:
+            if getattr(opt, "lpips_weights", ""):
+                self.lpips.load_weights_file(opt.lpips_weights)
+                self.log(f"[INFO] LPIPS calibrated from {opt.lpips_weights}")
+            else:
+                self.log(
+                    "[WARN] perceptual loss is active (finetune_lips/patch) "
+                    "but no --lpips_weights given: LPIPS runs on UNCALIBRATED "
+                    "random filters and is NOT the reference's pretrained "
+                    "alex-LPIPS term."
+                )
+
         if self.workspace and params is None:
             self._restore(use_checkpoint)
 
         # jit caches
         self._train_step_fn = {}
         self._render_fn = {}
+        # bound on adaptive-capacity recompiles (each costs minutes on the
+        # remote-compile service); _adapt_capacities warns loudly if the cap
+        # binds while telemetry still shows dropped work
+        self._adapt_cap = 6
 
     # ------------------------------------------------------------- plumbing
     def _next_key(self):
@@ -218,7 +241,8 @@ class Trainer:
         net_cfg, rc = self.net_cfg, self.render_cfg
         opt = self.opt
         lpips_fn = self.lpips.loss_fn() if self.lpips is not None else None
-        lips_mode, lips_shape = shape_sig[0], shape_sig[1]
+        loss_mode, lips_shape = shape_sig[0], shape_sig[1]
+        use_lpips = loss_mode in ("rect", "patch")
 
         rc = self.render_cfg  # rebound: may have been adaptively resized
 
@@ -239,9 +263,9 @@ class Trainer:
                     loss = head_loss(
                         results, batch["images"], batch["face_mask"],
                         global_step, opt.iters, opt.lambda_amb,
-                        lpips_fn=lpips_fn if lips_mode else None,
-                        lpips_shape=lips_shape if lips_mode else None,
-                        lpips_weight=0.01 if opt.finetune_lips else 0.001,
+                        lpips_fn=lpips_fn if use_lpips else None,
+                        lpips_shape=lips_shape if use_lpips else None,
+                        lpips_weight=0.01 if loss_mode == "rect" else 0.001,
                     )
                 stats = jnp.stack(
                     [results["n_hit"], results["n_samples_needed"],
@@ -269,10 +293,26 @@ class Trainer:
         # each bucket change recompiles the train step (minutes on this
         # environment's remote-compile service) — cap the churn
         self._adapt_count = getattr(self, "_adapt_count", 0)
-        if self._adapt_count >= 6:
-            return
         n_hit, n_needed = int(stats[0]), int(stats[1])
         rc = self.render_cfg
+        if self._adapt_count >= self._adapt_cap:
+            # the cap exists to bound recompiles, but binding it while the
+            # scene still outgrows the static capacities silently DROPS work
+            # (the exact bug class this mechanism kills) — be loud about it
+            R_now = max(
+                128, int(-(-n_rays * min(rc.ray_capacity_frac, 1.0) // 128)) * 128
+            )
+            S_now = R_now * rc.sample_capacity_mult
+            if n_hit > R_now or n_needed > S_now:
+                self.log(
+                    f"[WARN] adaptive-capacity cap ({self._adapt_cap} recompiles) "
+                    f"reached while capacities are undersized: hits {n_hit} vs "
+                    f"ray capacity {R_now}, samples {n_needed} vs capacity "
+                    f"{S_now} — rays/samples beyond capacity are being DROPPED. "
+                    f"Raise --ray_capacity_frac/--sample_capacity_mult or the "
+                    f"cap (Trainer._adapt_cap)."
+                )
+            return
         n_max = int(stats[2]) if stats.shape[0] > 2 else rc.max_steps
         R = max(128, int(-(-n_rays * min(rc.ray_capacity_frac, 1.0) // 128)) * 128)
 
@@ -457,9 +497,14 @@ class Trainer:
             lips_mode = bool(self.opt.finetune_lips and "rect" in batch)
             if lips_mode:
                 xmin, xmax, ymin, ymax = batch["rect"]
-                sig = (True, (xmax - xmin, ymax - ymin), batch["rays_o"].shape[0])
+                sig = ("rect", (xmax - xmin, ymax - ymin), batch["rays_o"].shape[0])
+            elif self.opt.patch_size > 1:
+                # patch training applies the perceptual term too, at 1e-3
+                # (utils.py:757-781: whenever patch_size > 1, not only lips)
+                p = self.opt.patch_size
+                sig = ("patch", (p, p), batch["rays_o"].shape[0])
             else:
-                sig = (False, None, batch["rays_o"].shape[0])
+                sig = ("none", None, batch["rays_o"].shape[0])
             self._last_n_rays = batch["rays_o"].shape[0]
 
             step_fn = self._get_train_step(sig)
@@ -483,14 +528,32 @@ class Trainer:
 
             if self.writer and self.global_step % 16 == 0:
                 self.writer.add_scalar("train/loss", float(loss), self.global_step)
+                # LR scalar (utils.py:1189-1191); the per-group schedule is
+                # base_lr * decay^(step/iters) — report the grid group's
+                decay = 0.05 if self.opt.finetune_lips else 0.1
+                lr = self.opt.lr * decay ** (self.global_step / self.opt.iters)
+                self.writer.add_scalar("train/lr", lr, self.global_step)
 
         total_loss = float(jnp.sum(jnp.stack(losses))) if losses else 0.0
         avg = total_loss / max(local_step, 1)
         self.stats["loss"].append(avg)
         dt = time.time() - t0
+        cap_note = ""
+        if last_stats is not None:
+            # capacity-utilization telemetry: make silent work-dropping
+            # impossible to miss (n_* beyond capacity means dropped rays/samples)
+            st = np.asarray(last_stats)
+            rc = self.render_cfg
+            n_rays = int(getattr(self, "_last_n_rays", 0))
+            R = max(128, int(-(-n_rays * min(rc.ray_capacity_frac, 1.0) // 128)) * 128)
+            S = R * rc.sample_capacity_mult
+            cap_note = (
+                f", hits {int(st[0])}/{R} rays, samples {int(st[1])}/{S}"
+                + (" [DROPPING]" if int(st[0]) > R or int(st[1]) > S else "")
+            )
         self.log(
             f"==> Finished Epoch {self.epoch}: loss={avg:.6f}, "
-            f"{local_step / max(dt, 1e-9):.2f} steps/s"
+            f"{local_step / max(dt, 1e-9):.2f} steps/s{cap_note}"
         )
 
     # ------------------------------------------------------------- eval API
@@ -510,9 +573,16 @@ class Trainer:
 
     def evaluate_one_epoch(self, dataset, name=None):
         self.log(f"++> Evaluate at epoch {self.epoch} ...")
+        name = name or f"{self.name}_ep{self.epoch:04d}"
         for metric in self.metrics:
             metric.clear()
         total_loss, count = 0.0, 0
+        # visual regression artifacts per eval epoch (utils.py:1259-1273)
+        save_path = (
+            os.path.join(self.workspace, "validation") if self.workspace else None
+        )
+        if save_path:
+            os.makedirs(save_path, exist_ok=True)
         n = min(len(dataset), getattr(dataset, "eval_count", len(dataset)))
         for i in range(n):
             batch = self._to_device(dataset.collate(i))
@@ -522,6 +592,17 @@ class Trainer:
             count += 1
             for metric in self.metrics:
                 metric.update(pred, gt)
+            if save_path:
+                import imageio
+
+                imageio.imwrite(
+                    os.path.join(save_path, f"{name}_{i:04d}_rgb.png"),
+                    (np.clip(pred, 0, 1) * 255).astype(np.uint8),
+                )
+                imageio.imwrite(
+                    os.path.join(save_path, f"{name}_{i:04d}_depth.png"),
+                    (np.clip(depth, 0, 1) * 255).astype(np.uint8),
+                )
         avg = total_loss / max(count, 1)
         self.stats["valid_loss"].append(avg)
         self.stats["results"].append(
@@ -601,7 +682,7 @@ class Trainer:
                 self._update_extra_state(dataset)
             self.global_step += 1
             batch = self._to_device(dataset.collate(int(order[s % len(order)])))
-            sig = (False, None, batch["rays_o"].shape[0])
+            sig = ("none", None, batch["rays_o"].shape[0])
             step_fn = self._get_train_step(sig)
             self.params, self.opt_state, self.state, loss, _stats = step_fn(
                 self.params, self.opt_state, self.state, batch,

@@ -558,3 +558,109 @@ def test_adaptive_capacities(data_dir, tmp_path):
     R = max(128, int(-(-n_rays * tr.render_cfg.ray_capacity_frac // 128)) * 128)
     assert R >= 64 * 1.2
     assert tr.render_cfg.sample_capacity_mult * R >= 128
+
+
+def test_lpips_weights_file(tmp_path):
+    """LPIPS.load_weights_file imports official-format calibration weights
+    (torchvision alexnet `features.*` convs + lpips `lin*` heads) from a
+    single torch file or npz (reference uses the lpips pip package, which
+    fetches the same tensors at runtime)."""
+    import torch
+
+    conv_ids = [0, 3, 6, 8, 10]
+    shapes = [(64, 3, 11, 11), (192, 64, 5, 5), (384, 192, 3, 3),
+              (256, 384, 3, 3), (256, 256, 3, 3)]
+    rng = np.random.default_rng(0)
+    alex = {}
+    for cid, sh in zip(conv_ids, shapes):
+        alex[f"features.{cid}.weight"] = torch.tensor(
+            (rng.normal(size=sh) * 0.05).astype(np.float32))
+        alex[f"features.{cid}.bias"] = torch.tensor(
+            (rng.normal(size=sh[0]) * 0.05).astype(np.float32))
+    lp_sd = {
+        f"lin{i}.model.1.weight": torch.tensor(
+            np.abs(rng.normal(size=(1, c, 1, 1))).astype(np.float32))
+        for i, c in enumerate((64, 192, 384, 256, 256))
+    }
+    path = str(tmp_path / "lpips_calib.pth")
+    torch.save({"alexnet": alex, "lpips": lp_sd}, path)
+
+    m = LPIPS()
+    assert not m.calibrated
+    m.load_weights_file(path)
+    assert m.calibrated
+    np.testing.assert_allclose(
+        np.asarray(m.params["convs"][0]["w"]),
+        alex["features.0.weight"].numpy())
+    a = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+    b = jnp.asarray(rng.uniform(0, 1, (1, 32, 32, 3)).astype(np.float32))
+    assert float(m(a, a)[0]) < 1e-6 < float(m(a, b)[0])
+
+    # flat npz format
+    blob = {k: v.numpy() for k, v in {**alex, **lp_sd}.items()}
+    npz_path = str(tmp_path / "lpips_calib.npz")
+    np.savez(npz_path, **blob)
+    m2 = LPIPS()
+    m2.load_weights_file(npz_path)
+    np.testing.assert_allclose(
+        np.asarray(m2.params["lins"][2]),
+        lp_sd["lin2.model.1.weight"].numpy().reshape(-1))
+
+    # meter + trainer flag plumbing
+    meter = LPIPSMeter(weights_path=npz_path)
+    assert meter.lpips.calibrated
+
+
+def test_patch_mode_lpips_applied(data_dir, tmp_path):
+    """patch_size > 1 must activate the perceptual term at weight 1e-3
+    (reference utils.py:757-781) — it was previously dead code outside
+    lips-rect mode."""
+    opt = Options(path=data_dir, workspace=str(tmp_path / "ws_p"),
+                  num_rays=1024, patch_size=32, exp_eye=True, iters=100,
+                  dt_gamma=0.0, sample_capacity_mult=2)
+    rc = RenderConfig(torso=False, exp_eye=True, **TINY_RC)
+    ds = TalkingHeadDataset(opt, split="train")
+    tr = Trainer("ngp", opt, render_cfg=rc, workspace=str(tmp_path / "ws_p"),
+                 use_tensorboard=False, mute=True, use_checkpoint="scratch")
+    assert tr.lpips is not None
+
+    # sub-receptive-field patches are rejected up front (NaN/torch-error zone)
+    bad = Options(path=data_dir, workspace=str(tmp_path / "ws_p2"),
+                  num_rays=1024, patch_size=4, exp_eye=True)
+    with pytest.raises(ValueError, match="patch_size"):
+        Trainer("ngp", bad, render_cfg=rc, workspace=str(tmp_path / "ws_p2"),
+                use_tensorboard=False, mute=True, use_checkpoint="scratch")
+
+    batch = tr._to_device(ds.collate(0))
+    n = batch["rays_o"].shape[0]
+    assert n % (32 * 32) == 0
+    step_patch = tr._get_train_step(("patch", (32, 32), n))
+    step_plain = tr._get_train_step(("none", None, n))
+    args = (tr.params, tr.opt_state, tr.state, batch,
+            jnp.asarray(1.0, jnp.float32), jax.random.PRNGKey(0))
+    _, _, _, loss_patch, _ = step_patch(*args)
+    _, _, _, loss_plain, _ = step_plain(*args)
+    assert np.isfinite(float(loss_patch)) and np.isfinite(float(loss_plain))
+    # same batch, same key: only the perceptual term differs
+    assert float(loss_patch) != pytest.approx(float(loss_plain))
+
+    # one real epoch end-to-end: train_one_epoch must dispatch the patch sig
+    tr.train_one_epoch(ds)
+    assert ("patch", (32, 32), n) in tr._train_step_fn
+
+
+def test_eval_writes_validation_images(data_dir, tmp_path):
+    """Each eval epoch leaves pred/depth PNGs in workspace/validation
+    (reference utils.py:1259-1273)."""
+    opt = _opts(data_dir, str(tmp_path / "ws_e"))
+    rc = RenderConfig(torso=False, exp_eye=True, **TINY_RC)
+    val = TalkingHeadDataset(opt, split="val")
+    val.training = False
+    val.num_rays = -1
+    val.eval_count = 1
+    tr = Trainer("ngp", opt, render_cfg=rc, workspace=str(tmp_path / "ws_e"),
+                 use_tensorboard=False, mute=True, use_checkpoint="scratch")
+    tr.evaluate_one_epoch(val)
+    outs = os.listdir(tmp_path / "ws_e" / "validation")
+    assert any(o.endswith("_rgb.png") for o in outs)
+    assert any(o.endswith("_depth.png") for o in outs)
