@@ -215,6 +215,53 @@ def track_landmarks(
     return out
 
 
+def basis_from_file(path: str, keys_path: Optional[str] = None,
+                    id_dim: int = 100, exp_dim: int = 79) -> LandmarkBasis:
+    """Load a LandmarkBasis from disk. Two formats:
+
+    - ``.npz`` with ``mean [68,3]``, ``id_base [68,3,id]``,
+      ``exp_base [68,3,exp]`` (this package's native format), or
+    - the reference's ``3DMM_info.npy`` (data_utils/face_tracking/
+      convert_BFM.py: ``mu_shape/b_shape/sig_shape`` + exp + tex arrays,
+      Basel-2009 units) together with ``keys_info.npy`` (``keyinds`` =
+      landmark vertex ids) as ``keys_path``. The sigma scalings are folded
+      into the bases so unit-scale parameters match the reference's
+      ``para * sig`` convention (facemodel.py:28-30, 51-53).
+    """
+    if path.endswith(".npz"):
+        blob = np.load(path)
+        return LandmarkBasis(
+            mean=np.asarray(blob["mean"], np.float32),
+            id_base=np.asarray(blob["id_base"], np.float32),
+            exp_base=np.asarray(blob["exp_base"], np.float32),
+        )
+    info = np.load(path, allow_pickle=True).item()
+    if keys_path is None:
+        raise ValueError(
+            "3DMM_info.npy needs keys_info.npy (landmark vertex ids) as "
+            "keys_path"
+        )
+    keys = np.load(keys_path, allow_pickle=True).item()
+    keyinds = np.asarray(keys["keyinds"]).reshape(-1)
+
+    mu = (np.asarray(info["mu_shape"]) + np.asarray(info["mu_exp"])).reshape(-1, 3)
+    mu = mu - mu.mean(axis=0, keepdims=True)  # facemodel.py:24-26
+    mu = (mu / 100000.0).astype(np.float32)
+
+    def _base(b, sig, dim):
+        b = np.asarray(b)[:dim].reshape(dim, -1, 3) / 100000.0
+        b = b * np.asarray(sig)[:dim, None, None]  # fold sig: unit params
+        return np.transpose(b, (1, 2, 0)).astype(np.float32)  # [V, 3, dim]
+
+    id_base = _base(info["b_shape"], info["sig_shape"], id_dim)
+    exp_base = _base(info["b_exp"], info["sig_exp"], exp_dim)
+    return LandmarkBasis(
+        mean=mu[keyinds],
+        id_base=id_base[keyinds],
+        exp_base=exp_base[keyinds],
+    )
+
+
 def make_tracker_fn(basis: LandmarkBasis, **kwargs):
     """PreprocessPipeline-compatible tracker_fn built on landmark files."""
     import glob

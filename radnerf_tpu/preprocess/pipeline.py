@@ -290,6 +290,11 @@ class PreprocessPipeline:
     landmarks_fn: Optional[Callable] = None
     tracker_fn: Optional[Callable] = None
     asr_logits_fn: Optional[Callable] = None
+    # weight-file paths that construct the in-repo JAX defaults for tasks
+    # 4 and 8 when the callables above are not injected:
+    parsing_weights: str = ""  # BiSeNet ckpt (reference 79999_iter.pth)
+    basis_path: str = ""  # LandmarkBasis npz or reference 3DMM_info.npy
+    keys_path: str = ""  # keys_info.npy (only for the 3DMM_info format)
     dirs: dict = field(default_factory=dict)
 
     def __post_init__(self):
@@ -315,10 +320,15 @@ class PreprocessPipeline:
         if task in (-1, 3):
             extract_frames(self.video_path, d["ori"])
         if task in (-1, 4):
+            if self.parsing_fn is None and self.parsing_weights:
+                from .face_parsing import make_parsing_fn
+
+                self.parsing_fn = make_parsing_fn(self.parsing_weights)
             if self.parsing_fn is None:
                 raise RuntimeError(
-                    "task 4 (face parsing) needs a parsing_fn (the reference "
-                    "uses BiSeNet with pretrained weights)"
+                    "task 4 (face parsing) needs a parsing_fn or "
+                    "parsing_weights= (BiSeNet checkpoint, the reference's "
+                    "79999_iter.pth)"
                 )
             self.parsing_fn(d["ori"], d["parsing"])
         if task in (-1, 5):
@@ -333,10 +343,18 @@ class PreprocessPipeline:
             paths = sorted(glob.glob(os.path.join(d["ori"], "*.jpg")))
             h, w = cv2.imread(paths[0]).shape[:2]
             if task in (-1, 8):
+                if self.tracker_fn is None and self.basis_path:
+                    from .face_tracker import basis_from_file, make_tracker_fn
+
+                    basis = basis_from_file(
+                        self.basis_path, self.keys_path or None
+                    )
+                    self.tracker_fn = make_tracker_fn(basis)
                 if self.tracker_fn is None:
                     raise RuntimeError(
-                        "task 8 (face tracking) needs a tracker_fn (the "
-                        "reference uses a BFM-2009 3DMM tracker)"
+                        "task 8 (face tracking) needs a tracker_fn or "
+                        "basis_path= (LandmarkBasis npz, or the reference's "
+                        "3DMM_info.npy with keys_path=keys_info.npy)"
                     )
                 params = self.tracker_fn(d["ori"], h, w, len(paths))
                 np.savez(os.path.join(d["base"], "track_params.npz"), **params)

@@ -183,3 +183,112 @@ def test_face_tracker_recovers_pose():
                                jnp.asarray(out["trans"]), 800.0, (225.0, 225.0)))
     err = np.abs(proj2 - lms).mean()
     assert err < 3.0, f"mean reprojection error {err} px"
+
+
+def test_basis_from_file_formats(tmp_path):
+    """basis_from_file reads both the native npz and the reference's
+    3DMM_info.npy/keys_info.npy pair (convert_BFM.py format), folding the
+    sigma scalings into the bases (facemodel.py:28-30)."""
+    from radnerf_tpu.preprocess.face_tracker import basis_from_file
+
+    rng = np.random.default_rng(0)
+    # native npz
+    mean = rng.normal(size=(68, 3)).astype(np.float32)
+    id_base = rng.normal(size=(68, 3, 4)).astype(np.float32)
+    exp_base = rng.normal(size=(68, 3, 3)).astype(np.float32)
+    npz = str(tmp_path / "basis.npz")
+    np.savez(npz, mean=mean, id_base=id_base, exp_base=exp_base)
+    b = basis_from_file(npz)
+    np.testing.assert_allclose(b.mean, mean)
+    assert b.id_dim == 4 and b.exp_dim == 3
+
+    # reference 3DMM_info.npy format
+    V, idd, expd = 80, 5, 4
+    info = {
+        "mu_shape": rng.normal(size=(V * 3,)) * 1e5,
+        "b_shape": rng.normal(size=(idd, V * 3)),
+        "sig_shape": np.abs(rng.normal(size=(idd,))) + 0.5,
+        "mu_exp": rng.normal(size=(V * 3,)) * 1e5,
+        "b_exp": rng.normal(size=(expd, V * 3)),
+        "sig_exp": np.abs(rng.normal(size=(expd,))) + 0.5,
+        "mu_tex": rng.normal(size=(V * 3,)),
+        "b_tex": rng.normal(size=(3, V * 3)),
+        "sig_tex": np.ones(3),
+    }
+    keyinds = rng.choice(V, 68, replace=False)
+    info_path = str(tmp_path / "3DMM_info.npy")
+    keys_path = str(tmp_path / "keys_info.npy")
+    np.save(info_path, info)
+    np.save(keys_path, {"keyinds": keyinds})
+
+    b2 = basis_from_file(info_path, keys_path, id_dim=idd, exp_dim=expd)
+    assert b2.mean.shape == (68, 3)
+    assert b2.id_base.shape == (68, 3, idd)
+    # mean: centered (mu_shape+mu_exp)/1e5 at the landmark vertices
+    mu = (info["mu_shape"] + info["mu_exp"]).reshape(-1, 3)
+    mu = (mu - mu.mean(0, keepdims=True)) / 1e5
+    np.testing.assert_allclose(b2.mean, mu[keyinds].astype(np.float32), rtol=1e-5)
+    # sig folded into the basis: unit params == reference's para * sig
+    expect = (info["b_shape"][2].reshape(V, 3) / 1e5) * info["sig_shape"][2]
+    np.testing.assert_allclose(
+        b2.id_base[:, :, 2], expect[keyinds].astype(np.float32), rtol=1e-5
+    )
+
+    with pytest.raises(ValueError, match="keys_info"):
+        basis_from_file(info_path)
+
+
+def test_pipeline_default_task_wiring(tmp_path, monkeypatch):
+    """Tasks 4/8 construct the in-repo JAX defaults from weight paths
+    instead of raising (the pipeline is runnable end-to-end given the two
+    weight files)."""
+    import cv2
+
+    from radnerf_tpu.preprocess import pipeline as pl
+    from radnerf_tpu.preprocess import face_parsing, face_tracker
+
+    base = tmp_path / "ds"
+    os.makedirs(base / "ori_imgs")
+    video = str(base / "vid.mp4")
+    open(video, "w").close()
+    for i in range(2):
+        cv2.imwrite(str(base / "ori_imgs" / f"{i}.jpg"),
+                    np.zeros((32, 32, 3), np.uint8))
+        np.savetxt(str(base / "ori_imgs" / f"{i}.lms"),
+                   np.full((68, 2), 16.0))
+
+    built = {}
+
+    def fake_parsing_factory(path):
+        built["parsing"] = path
+        return lambda ori, out: built.setdefault("parsing_ran", True)
+
+    def fake_tracker_factory(basis, **kw):
+        built["basis"] = basis
+        return lambda ori, h, w, n: {
+            "focal": np.array([900.0]),
+            "euler": np.zeros((n, 3), np.float32),
+            "trans": np.tile([0, 0, -7], (n, 1)).astype(np.float32),
+        }
+
+    monkeypatch.setattr(face_parsing, "make_parsing_fn", fake_parsing_factory)
+    monkeypatch.setattr(face_tracker, "make_tracker_fn", fake_tracker_factory)
+
+    rng = np.random.default_rng(0)
+    npz = str(tmp_path / "basis.npz")
+    np.savez(npz, mean=rng.normal(size=(68, 3)),
+             id_base=rng.normal(size=(68, 3, 4)),
+             exp_base=rng.normal(size=(68, 3, 3)))
+
+    p = pl.PreprocessPipeline(video, parsing_weights="/fake/bisenet.pth",
+                              basis_path=npz)
+    p.run(task=4)
+    assert built["parsing"] == "/fake/bisenet.pth" and built["parsing_ran"]
+    p.run(task=8)
+    assert built["basis"].id_dim == 4
+    assert os.path.exists(base / "track_params.npz")
+
+    # without paths or callables the tasks still fail loudly
+    p2 = pl.PreprocessPipeline(video)
+    with pytest.raises(RuntimeError, match="parsing"):
+        p2.run(task=4)
