@@ -32,12 +32,15 @@ def main():
                    help="LandmarkBasis npz or 3DMM_info.npy (task 8)")
     p.add_argument("--keys_path", type=str, default="",
                    help="keys_info.npy (only with the 3DMM_info.npy format)")
+    p.add_argument("--topology_path", type=str, default="",
+                   help="topology_info.npy: enables the photometric "
+                        "refinement stage of task 8")
     args = p.parse_args()
 
     run_pipeline(
         args.path, task=args.task, asr=args.asr, asr_model=args.asr_model,
         parsing_weights=args.parsing_weights, basis_path=args.basis_path,
-        keys_path=args.keys_path,
+        keys_path=args.keys_path, topology_path=args.topology_path,
     )
 
 

@@ -215,6 +215,246 @@ def track_landmarks(
     return out
 
 
+def photometric_refine(
+    track: dict,
+    lms: np.ndarray,
+    images: np.ndarray,
+    mesh,
+    lm_basis: LandmarkBasis,
+    img_h: int,
+    img_w: int,
+    batch_size: int = 64,
+    light_iters: int = 71,
+    fine_iters: int = 50,
+    tile: int = 16,
+    K: int = 128,
+    verbose: bool = False,
+) -> dict:
+    """Photometric texture + SH-lighting refinement (the reference's fine
+    tracking stages, face_tracker.py:178-360) on the landmark fit in
+    ``track``.
+
+    Stage 1 "fitting light" (:178-255): on ~batch_size spread-out frames,
+    jointly fit a global texture code + per-frame 27-d SH light + id/exp/
+    pose through the differentiable renderer (render_3dmm.Render3DMM);
+    masked photometric L2 (util.py:cal_col_loss) + landmark + id/exp
+    regularizers, two Adam groups (tex+light lr 0.1; pose/id/exp lr 0.01),
+    x0.2 decay at iter 50, landmark weight 3 -> 0.05 after iter 50.
+
+    Stage 2 "fine frame-wise fitting" (:258-360): consecutive batch_size-
+    frame windows, Adam(0.005) on exp/euler/trans/light; loss = 0.5*col +
+    lan*(8 -> 1.5 after iter 30) + 1e5 * temporal laplacian on the rigid
+    vertices (5-frame overlap with already-refined frames) + regexp.
+
+    track: {'focal','euler','trans','id','exp'}; lms [N,68,2];
+    images [N,H,W,3] RGB in 0..255. mesh: render_3dmm.MeshBasis.
+    Returns the refined dict + {'tex','light'}.
+    """
+    from .render_3dmm import Render3DMM, forward_geo, forward_tex
+
+    N = int(np.asarray(track["euler"]).shape[0])
+    S = min(batch_size, N)
+    focal = float(np.asarray(track["focal"]).reshape(-1)[0])
+    cxy = (img_w / 2.0, img_h / 2.0)
+    renderer = Render3DMM(focal, img_h, img_w, mesh.tris, tile=tile, K=K)
+
+    lms = jnp.asarray(lms, jnp.float32)
+    images = jnp.asarray(images, jnp.float32)
+    euler = jnp.asarray(track["euler"], jnp.float32)
+    trans = jnp.asarray(track["trans"], jnp.float32)
+    idp = jnp.asarray(track["id"], jnp.float32)
+    exp = jnp.asarray(track["exp"], jnp.float32)
+
+    rigid = mesh.rigid_ids
+    if rigid is None:
+        rigid = np.arange(0, mesh.mean.shape[0], max(1, mesh.mean.shape[0] // 200))
+    rigid = jnp.asarray(rigid, jnp.int32)
+
+    def rott(geo, eul, tr):
+        return jnp.einsum("nij,nkj->nki", euler_rot(eul), geo) + tr[:, None, :]
+
+    def render_loss(geo_cam, tex_codes, light, imgs):
+        texture = forward_tex(mesh, tex_codes)
+        out = renderer(geo_cam, texture, light)  # [S, H, W, 4]
+        mask = jax.lax.stop_gradient(out[..., 3]) > 0.0
+        err = jnp.sum((out[..., :3] - imgs) ** 2, -1) * mask / 255.0
+        return jnp.mean(jnp.sum(err, (1, 2)) / jnp.maximum(
+            jnp.sum(mask, (1, 2)), 1.0))  # cal_col_loss
+
+    def lan_loss_of(idb, expb, eulb, trb, lms_b):
+        geo = landmarks_from_params(lm_basis, idb, expb)
+        proj = project(geo, eulb, trb, focal, cxy)
+        return _lan_loss(proj, lms_b)
+
+    # ----------------------------------------------------- stage 1: light
+    sel = np.arange(0, N, max(1, N // S))[:S]
+    sel_imgs = images[jnp.asarray(sel)]
+    sel_lms = lms[jnp.asarray(sel)]
+
+    p1 = {
+        "tex": jnp.zeros((1, mesh.tex_dim)),
+        "light": jnp.zeros((S, 27)),
+        "id": idp,
+        "exp": exp[jnp.asarray(sel)],
+        "euler": euler[jnp.asarray(sel)],
+        "trans": trans[jnp.asarray(sel)],
+    }
+    tl_keys, pose_keys = ("tex", "light"), ("id", "exp", "euler", "trans")
+
+    def stage1_loss(p, lan_w, regid_w, regexp_w):
+        idb = jnp.broadcast_to(p["id"], (S, lm_basis.id_dim))
+        loss_lan = lan_loss_of(idb, p["exp"], p["euler"], p["trans"], sel_lms)
+        geo = forward_geo(mesh, jnp.broadcast_to(p["id"], (S, mesh.id_dim)),
+                          p["exp"])
+        geo_cam = rott(geo, p["euler"], p["trans"])
+        tex_codes = jnp.broadcast_to(p["tex"], (S, mesh.tex_dim))
+        loss_col = render_loss(geo_cam, tex_codes, p["light"], sel_imgs)
+        return (loss_col + lan_w * loss_lan
+                + regid_w * jnp.mean(p["id"] ** 2)
+                + regexp_w * jnp.mean(p["exp"] ** 2))
+
+    def two_group_step(loss_fn, txs):
+        @jax.jit
+        def step(p, states, *loss_args):
+            loss, g = jax.value_and_grad(
+                lambda q: loss_fn(q, *loss_args))(p)
+            new_states = []
+            for (keys, tx), s in zip(txs, states):
+                sub_g = {k: g[k] for k in keys}
+                sub_p = {k: p[k] for k in keys}
+                u, s2 = tx.update(sub_g, s, sub_p)
+                p = {**p, **optax.apply_updates(sub_p, u)}
+                new_states.append(s2)
+            return p, tuple(new_states), loss
+
+        return step
+
+    for phase, (lo, hi) in enumerate([(0, min(51, light_iters)),
+                                      (51, light_iters)]):
+        if hi <= lo:
+            continue
+        d = 0.2**phase
+        txs = [(tl_keys, optax.adam(0.1 * d)), (pose_keys, optax.adam(0.01 * d))]
+        states = tuple(tx.init({k: p1[k] for k in keys}) for keys, tx in txs)
+        step = two_group_step(stage1_loss, txs)
+        for it in range(lo, hi):
+            lan_w, regid_w, regexp_w = ((0.05, 1.0, 0.8) if it > 50
+                                        else (3.0, 2.0, 1.0))
+            p1, states, loss = step(p1, states, lan_w, regid_w, regexp_w)
+        if verbose:
+            print(f"[photometric] light phase {phase}: loss {float(loss):.4f}")
+
+    idp, tex = p1["id"], p1["tex"]
+    euler = euler.at[jnp.asarray(sel)].set(p1["euler"])
+    trans = trans.at[jnp.asarray(sel)].set(p1["trans"])
+    exp = exp.at[jnp.asarray(sel)].set(p1["exp"])
+    light = jnp.tile(jnp.mean(p1["light"], 0, keepdims=True), (N, 1))
+
+    # ---------------------------------------------- stage 2: fine fitting
+    pre_num = 5
+
+    tx2 = optax.adam(0.005)
+
+    def stage2_loss(p, imgs_b, lms_b, pre_geo, lan_w, use_pre):
+        B = p["exp"].shape[0]
+        idb = jnp.broadcast_to(idp, (B, lm_basis.id_dim))
+        loss_lan = lan_loss_of(idb, p["exp"], p["euler"], p["trans"], lms_b)
+        geo = forward_geo(mesh, jnp.broadcast_to(idp, (B, mesh.id_dim)),
+                          p["exp"])
+        geo_cam = rott(geo, p["euler"], p["trans"])
+        tex_codes = jnp.broadcast_to(tex, (B, mesh.tex_dim))
+        loss_col = render_loss(geo_cam, tex_codes, p["light"], imgs_b)
+        # temporal laplacian on rigid vertices, with the 5 preceding
+        # already-refined frames prepended (face_tracker.py:323-339)
+        rg = geo_cam[:, rigid, :].reshape(B, -1)
+        if use_pre:
+            rg = jnp.concatenate([pre_geo, rg], 0)
+        lap = rg[1:-1] - 0.5 * (rg[:-2] + rg[2:])
+        loss_lap = jnp.mean(lap**2)
+        return (0.5 * loss_col + lan_w * loss_lan + 1e5 * loss_lap
+                + jnp.mean(p["exp"] ** 2))
+
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("use_pre",))
+    def fine_step(p, s, imgs_b, lms_b, pre_geo, lan_w, use_pre):
+        loss, g = jax.value_and_grad(
+            lambda q: stage2_loss(q, imgs_b, lms_b, pre_geo, lan_w, use_pre)
+        )(p)
+        u, s = tx2.update(g, s, p)
+        return optax.apply_updates(p, u), s, loss
+
+    n_batches = int(-(-N // S))
+    for bi in range(n_batches):
+        start = min(bi * S, N - S)
+        ids = np.arange(start, start + S)
+        jids = jnp.asarray(ids)
+        p2 = {
+            "exp": exp[jids], "euler": euler[jids], "trans": trans[jids],
+            "light": light[jids],
+        }
+        use_pre = start >= pre_num
+        if use_pre:
+            pre_ids = jnp.asarray(np.arange(start - pre_num, start))
+            geo_pre = forward_geo(
+                mesh, jnp.broadcast_to(idp, (pre_num, mesh.id_dim)),
+                exp[pre_ids])
+            pre_geo = rott(geo_pre, euler[pre_ids],
+                           trans[pre_ids])[:, rigid, :].reshape(pre_num, -1)
+        else:
+            pre_geo = jnp.zeros((pre_num, rigid.shape[0] * 3))
+
+        s = tx2.init(p2)
+        for it in range(fine_iters):
+            p2, s, loss = fine_step(
+                p2, s, images[jids], lms[jids], pre_geo,
+                8.0 if it <= 30 else 1.5, use_pre,
+            )
+        if verbose:
+            print(f"[photometric] fine batch {bi}: loss {float(loss):.4f}")
+        exp = exp.at[jids].set(p2["exp"])
+        euler = euler.at[jids].set(p2["euler"])
+        trans = trans.at[jids].set(p2["trans"])
+        light = light.at[jids].set(p2["light"])
+
+    out = dict(track)
+    out.update({
+        "euler": np.asarray(euler, np.float32),
+        "trans": np.asarray(trans, np.float32),
+        "exp": np.asarray(exp, np.float32),
+        "id": np.asarray(idp, np.float32),
+        "tex": np.asarray(tex, np.float32),
+        "light": np.asarray(light, np.float32),
+    })
+    return out
+
+
+def make_photometric_fn(mesh, lm_basis: LandmarkBasis, ori_imgs_dir: str,
+                        img_h: int, img_w: int, **kwargs):
+    """track_landmarks-compatible ``photometric_fn`` hook: loads the frame
+    images + landmark files and runs photometric_refine."""
+    import glob
+    import os
+
+    def photometric_fn(track: dict) -> dict:
+        import cv2
+
+        paths = sorted(
+            glob.glob(os.path.join(ori_imgs_dir, "*.jpg")),
+            key=lambda p: int(os.path.basename(p).split(".")[0]),
+        )
+        imgs = np.stack([
+            cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB) for p in paths
+        ]).astype(np.float32)
+        lms = np.stack([
+            np.loadtxt(p.replace(".jpg", ".lms")) for p in paths
+        ]).astype(np.float32)
+        return photometric_refine(track, lms, imgs, mesh, lm_basis,
+                                  img_h, img_w, **kwargs)
+
+    return photometric_fn
+
+
 def basis_from_file(path: str, keys_path: Optional[str] = None,
                     id_dim: int = 100, exp_dim: int = 79) -> LandmarkBasis:
     """Load a LandmarkBasis from disk. Two formats:

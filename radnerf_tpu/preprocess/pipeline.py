@@ -295,6 +295,8 @@ class PreprocessPipeline:
     parsing_weights: str = ""  # BiSeNet ckpt (reference 79999_iter.pth)
     basis_path: str = ""  # LandmarkBasis npz or reference 3DMM_info.npy
     keys_path: str = ""  # keys_info.npy (only for the 3DMM_info format)
+    topology_path: str = ""  # topology_info.npy: enables the photometric
+    # refinement stage of task 8 (full-mesh render; needs 3DMM_info format)
     dirs: dict = field(default_factory=dict)
 
     def __post_init__(self):
@@ -344,12 +346,25 @@ class PreprocessPipeline:
             h, w = cv2.imread(paths[0]).shape[:2]
             if task in (-1, 8):
                 if self.tracker_fn is None and self.basis_path:
-                    from .face_tracker import basis_from_file, make_tracker_fn
+                    from .face_tracker import (
+                        basis_from_file, make_photometric_fn, make_tracker_fn,
+                    )
 
                     basis = basis_from_file(
                         self.basis_path, self.keys_path or None
                     )
-                    self.tracker_fn = make_tracker_fn(basis)
+                    kw = {}
+                    if self.topology_path:
+                        from .render_3dmm import mesh_basis_from_file
+
+                        mesh = mesh_basis_from_file(
+                            self.basis_path, self.topology_path,
+                            self.keys_path or None,
+                        )
+                        kw["photometric_fn"] = make_photometric_fn(
+                            mesh, basis, d["ori"], h, w
+                        )
+                    self.tracker_fn = make_tracker_fn(basis, **kw)
                 if self.tracker_fn is None:
                     raise RuntimeError(
                         "task 8 (face tracking) needs a tracker_fn or "
