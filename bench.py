@@ -5,12 +5,15 @@ Baseline (BASELINE.md): the reference achieves ~40 FPS at 450x450 head+torso
 on an NVIDIA V100. The driver's north star: >= 40 FPS at 512x512 on one TPU
 v5e. vs_baseline = measured_fps / 40.
 
-The scene is synthetic but realistic for the workload: a head-sized occupied
-blob in the density grid (so marching hits real occupancy patterns, field
-evaluation runs on a realistic compacted sample count), audio window changing
-every frame (streaming conditioning), full torso + background compositing.
+The scene is synthetic but realistic for the workload: a converged-head-style
+occupancy (rough-surfaced ellipsoid cranium + neck column, opaque interior)
+in the density grid, a shoulders-shaped torso-layer mask, audio window
+changing every frame (streaming conditioning), full torso + background
+compositing. Static capacities are NOT hand-tuned: a generous-capacity
+telemetry render feeds the same sizing rules the Trainer uses
+(train/capacity.py) and a confirm render asserts nothing is dropped.
 
-Prints ONE JSON line.
+Prints ONE JSON line (stdout); the sizing report goes to stderr.
 """
 
 import json
@@ -43,34 +46,50 @@ def build_scene(H_img=512, W_img=512):
 
     net_cfg = NetworkConfig(torso=True, exp_eye=True,
                             compute_dtype="bfloat16")
-    # capacities sized from measured telemetry on this scene (n_hit 70718
-    # of 262144 rays -> frac 0.375; n_samples_needed 261435 of 294912;
-    # n_max_count 4 -> sample_slots 8): honest (no dropped work), tight
+    # starting capacities: generous; main() sizes them from measured
+    # telemetry via the SAME rules the Trainer uses (train/capacity.py),
+    # so the headline FPS is not an artifact of hand-tuned capacities
     rc = RenderConfig(torso=True, exp_eye=True, max_steps=16,
-                      dt_gamma=1.0 / 256, sample_capacity_mult=3,
-                      march_iters=32, ray_capacity_frac=0.375,
-                      sample_slots=8, torso_capacity_frac=0.5)
+                      dt_gamma=1.0 / 256, sample_capacity_mult=6,
+                      march_iters=None, ray_capacity_frac=1.0,
+                      sample_slots=None, torso_capacity_frac=1.0)
     params = init_params(jax.random.PRNGKey(0), net_cfg)
     state = RendererState.create(rc)
 
-    # head-sized blob: occupy cells within radius 0.35 around (0, 0.05, 0);
-    # trained heads are opaque at surfaces (sigma >> 100), which is what the
-    # reference's early termination exploits — use a realistic density.
+    # realistic trained-head occupancy (a converged head-stage grid):
+    # ellipsoid cranium + jaw taper + neck column, with smooth random
+    # surface roughness (trained grids have ragged hair/chin boundaries),
+    # opaque interior (sigma >> 100 — what early termination exploits)
     G = rc.grid_size
     coords = np.asarray(morton3d_invert(jnp.arange(G**3, dtype=jnp.int32)))
     xyz = 2.0 * coords.astype(np.float32) / (G - 1) - 1.0
-    center = np.array([0.0, 0.05, 0.0], np.float32)
-    occ = (np.linalg.norm(xyz - center, axis=-1) < 0.35).astype(np.float32) * 300.0
+    x, y, z = xyz[:, 0], xyz[:, 1], xyz[:, 2]
+    rng = np.random.default_rng(7)
+    rough = np.zeros_like(x)
+    for _ in range(6):  # smooth band-limited boundary noise, ~10% amplitude
+        f = rng.uniform(2.0, 6.0, 3)
+        ph = rng.uniform(0, 2 * np.pi, 3)
+        rough += np.cos(f[0] * x + ph[0]) * np.cos(f[1] * y + ph[1]) \
+            * np.cos(f[2] * z + ph[2])
+    rough *= 0.06
+    head = ((x / 0.33) ** 2 + ((y - 0.12) / 0.44) ** 2 + (z / 0.37) ** 2
+            < (1.0 + rough))
+    neck = (x**2 + z**2 < (0.16 + 0.3 * rough) ** 2) & (y < -0.15) & (y > -0.75)
+    occ = (head | neck).astype(np.float32) * 300.0
     grid = jnp.asarray(occ)[None]
     bitfield = packbits(grid, 5.0)
+    # torso layer mask: shoulders trapezoid widening downward (2-D grid in
+    # the torso plane), soft density just above the torso threshold
+    gy, gx = np.meshgrid(np.linspace(-1, 1, G), np.linspace(-1, 1, G),
+                         indexing="ij")
+    half_w = 0.22 + 0.55 * np.clip(-(gy + 0.05), 0, 1)
+    torso_mask = (np.abs(gx) < half_w) & (gy < 0.05)
     state = state.replace(
         density_grid=grid,
         density_bitfield=bitfield,
         mean_density=jnp.asarray(occ.mean()),
         density_grid_torso=jnp.asarray(
-            (np.abs(np.linspace(-1, 1, G))[None, :] < 0.4).astype(np.float32)
-            .repeat(G, 0).reshape(-1) * 0.5
-        ),
+            torso_mask.astype(np.float32).reshape(-1) * 0.5),
         mean_density_torso=jnp.asarray(0.05, jnp.float32),
         occ_bbox=compute_occ_bbox(rc, grid, 5.0),
         occ_sphere=compute_occ_sphere(rc, grid, 5.0),
@@ -100,6 +119,71 @@ def build_scene(H_img=512, W_img=512):
     return net_cfg, rc, params, state, batch, aud_stream
 
 
+def size_capacities(net_cfg, rc, params, state, batch, auds,
+                    probe_batch=None):
+    """Telemetry-driven capacity sizing via the SAME rules the Trainer uses
+    (train/capacity.py).
+
+    The generous-capacity telemetry render runs on ``probe_batch`` (a lower-
+    resolution frame of the same scene — capacity FRACTIONS are resolution-
+    invariant, and the generous graph at full resolution does not fit HBM:
+    frac=1.0 x full-K march buffers alone exceed 16 GB). The sized config is
+    then confirmed at full resolution, growing on any measured drop."""
+    import sys
+
+    import jax
+
+    from radnerf_tpu.models import render_rays
+    from radnerf_tpu.train.capacity import adapt_render_config, ray_capacity
+
+    def telemetry(cfg, b):
+        fn = jax.jit(lambda p, s, b, a: render_rays(
+            p, net_cfg, cfg, s, b["rays_o"], b["rays_d"], a,
+            b["bg_coords"], b["poses"], b["eye"], b["index"], b["bg_color"],
+            training=False,
+        )[0])
+        r = fn(params, state, b, auds)
+        return {k: int(r[k]) for k in
+                ("n_hit", "n_samples_needed", "n_max_count", "n_torso_mask")}
+
+    radius = float(state.occ_sphere[3])
+    probe = probe_batch if probe_batch is not None else batch
+    n_probe = probe["rays_o"].shape[0]
+    t = telemetry(rc, probe)
+    rc2 = adapt_render_config(
+        rc, t["n_hit"], t["n_samples_needed"], t["n_max_count"], n_probe,
+        radius, n_torso=t["n_torso_mask"], fresh=True,
+    ) or rc
+
+    # confirm at full resolution; grow (hysteresis rules) on any drop
+    n_rays = batch["rays_o"].shape[0]
+    for _ in range(3):
+        t2 = telemetry(rc2, batch)
+        R = ray_capacity(n_rays, rc2.ray_capacity_frac)
+        if (t2["n_hit"] <= R
+                and t2["n_samples_needed"] <= R * rc2.sample_capacity_mult):
+            break
+        grown = adapt_render_config(
+            rc2, t2["n_hit"], t2["n_samples_needed"], t2["n_max_count"],
+            n_rays, radius, n_torso=t2["n_torso_mask"],
+        )
+        if grown is None:
+            break
+        rc2 = grown
+    else:
+        raise AssertionError(f"sized capacities still drop work: {t2}")
+
+    # sizing report goes to stderr: stdout is ONE JSON line (the contract)
+    print(json.dumps({"sized": {
+        "ray_capacity_frac": rc2.ray_capacity_frac,
+        "sample_capacity_mult": rc2.sample_capacity_mult,
+        "march_iters": rc2.march_iters, "sample_slots": rc2.sample_slots,
+        "torso_capacity_frac": rc2.torso_capacity_frac,
+        "telemetry": t2,
+    }}), file=sys.stderr, flush=True)
+    return rc2
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -107,6 +191,9 @@ def main():
     from radnerf_tpu.models import render_rays
 
     net_cfg, rc, params, state, batch, aud_stream = build_scene()
+    probe_batch = build_scene(256, 256)[4]
+    rc = size_capacities(net_cfg, rc, params, state, batch, aud_stream[0],
+                         probe_batch=probe_batch)
 
     @jax.jit
     def render_frame(params, state, batch, auds):

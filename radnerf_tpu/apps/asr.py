@@ -145,17 +145,25 @@ class StreamingASR:
         self.save_feats = getattr(opt, "asr_save_feats", False)
         self.all_feats = []
 
-        # circular feature queue: 4 context-sized segments (asr.py:100-109)
-        self.feat_buffer_size = 4
-        self.feat_buffer_idx = 0
+        # ring of decoded feature frames: four context-sized segments are
+        # enough to cover every 16-frame window the renderer can request
+        # while the CTC head stays ahead of playback (cf. asr.py:100-109)
+        self.n_segments = 4
+        self.seg_idx = 0
         self.feat_queue = np.zeros(
-            (self.feat_buffer_size * self.context_size, self.audio_dim), np.float32
+            (self.n_segments * self.context_size, self.audio_dim), np.float32
         )
-        self.front = self.feat_buffer_size * self.context_size - 8  # fake padding
-        self.tail = 8
+        # the first window is read across the ring seam so that the 8
+        # zero frames preceding t=0 come from the (still-zero) ring end —
+        # the stream starts as if silence preceded it
+        self.read_lo = self.n_segments * self.context_size - 8
+        self.read_hi = 8
         self.att_feats = [np.zeros((self.audio_dim, 16), np.float32)] * 4
 
-        # warm-up: mid + right + window + attention (asr.py:112)
+        # steps to pre-buffer before the first rendered frame: one full
+        # context of decoded features, the right-stride lookahead the CTC
+        # window needs, the 8-frame half-window the attention consumes,
+        # and 2 chunks of scheduling slack per extra window (asr.py:112)
         self.warm_up_steps = self.context_size + self.stride_right_size + 8 + 2 * 3
 
     # ---------------------------------------------------------------- audio io
@@ -202,14 +210,14 @@ class StreamingASR:
         """Next [8, audio_dim, 16] attention window (asr.py:160-183)."""
         Q = self.feat_queue.shape[0]
         while len(self.att_feats) < 8:
-            if self.front < self.tail:
-                feat = self.feat_queue[self.front: self.tail]
+            if self.read_lo < self.read_hi:
+                feat = self.feat_queue[self.read_lo: self.read_hi]
             else:
                 feat = np.concatenate(
-                    [self.feat_queue[self.front:], self.feat_queue[: self.tail]], 0
+                    [self.feat_queue[self.read_lo:], self.feat_queue[: self.read_hi]], 0
                 )
-            self.front = (self.front + 2) % Q
-            self.tail = (self.tail + 2) % Q
+            self.read_lo = (self.read_lo + 2) % Q
+            self.read_hi = (self.read_hi + 2) % Q
             self.att_feats.append(feat.T.copy())
         att = np.stack(self.att_feats, 0)  # [8, audio_dim, 16]
         self.att_feats = self.att_feats[1:]
@@ -250,10 +258,10 @@ class StreamingASR:
             self.all_feats.append(feats)
 
         if not self.terminated:
-            start = self.feat_buffer_idx * self.context_size
+            start = self.seg_idx * self.context_size
             end = start + feats.shape[0]
             self.feat_queue[start:end] = feats[: self.feat_queue.shape[0] - start]
-            self.feat_buffer_idx = (self.feat_buffer_idx + 1) % self.feat_buffer_size
+            self.seg_idx = (self.seg_idx + 1) % self.n_segments
 
         if self.terminated and self.save_feats:
             track = np.concatenate(self.all_feats, 0)

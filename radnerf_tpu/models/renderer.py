@@ -28,7 +28,6 @@ from flax import struct
 
 from ..ops import (
     MarchConfig,
-    compact_samples,
     composite_rays,
     march_rays,
     morton3d,
@@ -37,7 +36,7 @@ from ..ops import (
     near_far_from_aabb,
     packbits,
 )
-from ..ops.marching import build_sigma_bytes, pack_bitfield_rows, pack_sigma_byte_rows
+from ..ops.marching import build_sigma_bytes, pack_sigma_byte_rows
 from .network import (
     NetworkConfig,
     encode_audio,
@@ -506,6 +505,7 @@ def render_rays(
         thresh_t = jnp.minimum(cfg.density_thresh_torso, state.mean_density_torso)
         occupancy = bilinear_sample_2d(state.density_grid_torso, bg_coords, cfg.grid_size)
         mask = occupancy > thresh_t
+        results["n_torso_mask"] = jnp.sum(mask.astype(jnp.int32))
 
         t_frac = (cfg.torso_capacity_frac if cfg.torso_capacity_frac is not None
                   else cfg.ray_capacity_frac)
@@ -538,7 +538,6 @@ def render_rays(
             t_alpha = back_t[:, :1]
             t_color = back_t[:, 1:4]
             results["deform"] = deform
-            results["n_torso_mask"] = jnp.sum(mask.astype(jnp.int32))
 
         bg_color = t_color * t_alpha + bg_color * (1.0 - t_alpha)
         results["torso_alpha"] = t_alpha

@@ -128,8 +128,14 @@ def _mip_level(x: jnp.ndarray, dt: jnp.ndarray, cfg: MarchConfig) -> jnp.ndarray
     C = cfg.cascade
 
     def frexp_exponent(v):
-        # frexp: v = m * 2^e with m in [0.5, 1)  =>  e = floor(log2(v)) + 1
-        e = jnp.floor(jnp.log2(jnp.maximum(v, 1e-30))).astype(jnp.int32) + 1
+        # C frexpf semantics, bit-exact: for a normal fp32 v = m * 2^e with
+        # m in [0.5, 1), the exponent is (biased_exponent - 126). Extracting
+        # the exponent bits avoids the log2-rounding corner cases at exact
+        # powers of two that a floor(log2(v))+1 emulation has. Subnormals
+        # map to e <= -126, which the final clip sends to level 0 (same as
+        # frexpf would after the max(0, e) in raymarching.cu:46).
+        bits = jax.lax.bitcast_convert_type(v.astype(jnp.float32), jnp.int32)
+        e = ((bits >> 23) & 0xFF) - 126
         return jnp.where(v > 0, e, 0)
 
     mx = jnp.max(jnp.abs(x), axis=-1)

@@ -1,0 +1,98 @@
+"""Telemetry-driven static-capacity sizing (shared by Trainer and bench).
+
+The reference adapts its per-step sample budget from a running mean of
+measured sample counts (raymarching.py:224-229 ``mean_count``). The TPU
+design needs *static* capacities (ray compaction slots, sample buffer,
+march-orbit length, sample-lattice width) — this module is the one place
+that turns measured occupancy telemetry (``n_hit`` / ``n_samples_needed`` /
+``n_max_count`` / ``n_torso_mask`` from render results) into a resized
+RenderConfig, bucketed so recompiles stay bounded while capacities stay
+tight AND safe (undersized capacities silently drop work)."""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+def ray_capacity(n_rays: int, frac: float) -> int:
+    """The static compacted-ray count for a given fraction (multiple of 128)."""
+    return max(128, int(-(-n_rays * min(frac, 1.0) // 128)) * 128)
+
+
+def adapt_render_config(
+    rc,
+    n_hit: int,
+    n_needed: int,
+    n_max: int,
+    n_rays: int,
+    occ_radius: float,
+    n_torso: Optional[int] = None,
+    headroom: float = 1.35,
+    fresh: bool = False,
+):
+    """Return a resized RenderConfig, or None if no change is needed.
+
+    - ray capacity: keep hits within [40%, 85%] of capacity (1/8 buckets,
+      rounded UP so growth is immediate, shrink only on big slack),
+    - sample capacity: keep needed samples within [35%, 85%] (integer mult),
+    - march orbit length: cover the occupied-sphere diameter (+margin) only,
+      in buckets of 8,
+    - sample-lattice width: grow when the marcher saturates it, shrink on
+      >= 4 slots of slack (buckets of 4; dt semantics derive from max_steps
+      alone and are untouched),
+    - torso pixel capacity: same 1/8-bucket rule on the torso mask count.
+
+    ``fresh=True`` snaps every capacity straight to the measured want (for a
+    one-shot sizing pass from exhaustive telemetry, e.g. bench.py); the
+    default hysteresis exists to bound recompile churn DURING training.
+    """
+    frac = rc.ray_capacity_frac
+    R = ray_capacity(n_rays, frac)
+    want = min(1.0, (n_hit / n_rays) * headroom if n_rays else 1.0)
+    want = max(0.125, -(-want * 8 // 1) / 8)  # round UP to 1/8
+    if fresh or want > frac or (want < frac and n_hit < 0.4 * R):
+        frac = want
+
+    mult = rc.sample_capacity_mult
+    r_for_mult = ray_capacity(n_rays, frac)
+    used = n_needed / max(r_for_mult, 1)
+    want_mult = max(1, int(-(-used * headroom // 1)))
+    if fresh or want_mult > mult or (want_mult < mult and used < 0.35 * mult):
+        mult = want_mult
+
+    march_iters = rc.march_iters
+    dt_min = rc.march_config().dt_min
+    want_k = int(-(-(2.0 * occ_radius / dt_min + 2) // 8)) * 8
+    full_k = dataclasses.replace(rc, march_iters=None).march_config().n_march_iters
+    want_k = min(want_k, full_k)
+    if (fresh or march_iters is None or want_k > march_iters
+            or want_k < march_iters - 8):
+        march_iters = want_k
+
+    slots = rc.sample_slots if rc.sample_slots is not None else rc.max_steps
+    if fresh:
+        slots = min(rc.max_steps, max(4, int(-(-(n_max + 1) // 4)) * 4))
+    elif n_max >= slots and slots < rc.max_steps:
+        slots = min(rc.max_steps, slots + 4)
+    elif n_max + 1 <= slots - 4:
+        slots = max(4, int(-(-(n_max + 1) // 4)) * 4)
+
+    t_frac = rc.torso_capacity_frac
+    if n_torso is not None and rc.torso:
+        cur = t_frac if t_frac is not None else frac
+        want_t = min(1.0, (n_torso / n_rays) * headroom if n_rays else 1.0)
+        want_t = max(0.125, -(-want_t * 8 // 1) / 8)
+        T_cap = ray_capacity(n_rays, cur)
+        if fresh or want_t > cur or (want_t < cur and n_torso < 0.4 * T_cap):
+            t_frac = want_t
+
+    if (frac != rc.ray_capacity_frac or mult != rc.sample_capacity_mult
+            or march_iters != rc.march_iters or slots != rc.sample_slots
+            or t_frac != rc.torso_capacity_frac):
+        return dataclasses.replace(
+            rc, ray_capacity_frac=frac, sample_capacity_mult=mult,
+            march_iters=march_iters, sample_slots=slots,
+            torso_capacity_frac=t_frac,
+        )
+    return None

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import os
 import time
-from functools import partial
 from typing import Optional
 
 import jax
@@ -286,9 +285,10 @@ class Trainer:
     # ---------------------------------------------- adaptive capacities
     def _adapt_capacities(self, stats, n_rays: int):
         """The mean_count analogue (raymarching.py:224-229): resize the
-        static ray/sample capacities to measured occupancy, in buckets, so
-        compiles stay bounded while capacities stay tight AND safe."""
-        import dataclasses
+        static ray/sample capacities to measured occupancy via the shared
+        sizing rules (train/capacity.py), bucketed so compiles stay bounded
+        while capacities stay tight AND safe."""
+        from .capacity import adapt_render_config, ray_capacity
 
         # each bucket change recompiles the train step (minutes on this
         # environment's remote-compile service) — cap the churn
@@ -299,9 +299,7 @@ class Trainer:
             # the cap exists to bound recompiles, but binding it while the
             # scene still outgrows the static capacities silently DROPS work
             # (the exact bug class this mechanism kills) — be loud about it
-            R_now = max(
-                128, int(-(-n_rays * min(rc.ray_capacity_frac, 1.0) // 128)) * 128
-            )
+            R_now = ray_capacity(n_rays, rc.ray_capacity_frac)
             S_now = R_now * rc.sample_capacity_mult
             if n_hit > R_now or n_needed > S_now:
                 self.log(
@@ -314,62 +312,19 @@ class Trainer:
                 )
             return
         n_max = int(stats[2]) if stats.shape[0] > 2 else rc.max_steps
-        R = max(128, int(-(-n_rays * min(rc.ray_capacity_frac, 1.0) // 128)) * 128)
-
-        # ray capacity: keep hits within [40%, 85%] of R (buckets of 1/8)
-        frac = rc.ray_capacity_frac
-        want = min(1.0, (n_hit / n_rays) * 1.35 if n_rays else 1.0)
-        want = max(0.125, -(-want * 8 // 1) / 8)  # round UP to 1/8
-        if want > frac or (want < frac and n_hit < 0.4 * R):
-            frac = want
-
-        # sample capacity: keep needed within [35%, 85%] of mult*R
-        mult = rc.sample_capacity_mult
-        r_for_mult = max(128, int(-(-n_rays * min(frac, 1.0) // 128)) * 128)
-        used = n_needed / max(r_for_mult, 1)
-        want_mult = max(1, int(-(-used * 1.35 // 1)))
-        if want_mult > mult or (want_mult < mult and used < 0.35 * mult):
-            mult = want_mult
-
-        # orbit length: the marched window is clipped to the occupied
-        # bounding sphere, so K only needs to cover its diameter (+margin),
-        # bucketed to multiples of 8
-        march_iters = rc.march_iters
         radius = float(self.state.occ_sphere[3])
-        dt_min = rc.march_config().dt_min
-        want_k = min(
-            rc.march_config().n_march_iters if rc.march_iters is None else 10**9,
-            int(-(-(2.0 * radius / dt_min + 2) // 8)) * 8,
-        )
-        full_k = dataclasses.replace(rc, march_iters=None).march_config().n_march_iters
-        want_k = min(want_k, full_k)
-        if march_iters is None or want_k > march_iters or want_k < march_iters - 8:
-            march_iters = want_k
 
-        # sample-lattice width: grow when the marcher saturates it (clipped
-        # counts read as == slots), shrink when real counts leave >= 4 slack
-        # (buckets of 4; dt semantics are untouched — they derive from
-        # max_steps alone)
-        slots = rc.sample_slots if rc.sample_slots is not None else rc.max_steps
-        if n_max >= slots and slots < rc.max_steps:
-            slots = min(rc.max_steps, slots + 4)
-        elif n_max + 1 <= slots - 4:
-            slots = max(4, int(-(-(n_max + 1) // 4)) * 4)
-
-        if (frac != rc.ray_capacity_frac or mult != rc.sample_capacity_mult
-                or march_iters != rc.march_iters
-                or slots != rc.sample_slots):
-            self.render_cfg = dataclasses.replace(
-                rc, ray_capacity_frac=frac, sample_capacity_mult=mult,
-                march_iters=march_iters, sample_slots=slots,
-            )
+        rc2 = adapt_render_config(rc, n_hit, n_needed, n_max, n_rays, radius)
+        if rc2 is not None:
+            self.render_cfg = rc2
             self._train_step_fn.clear()
             self._render_fn.clear()
             self._adapt_count += 1
             self.log(
-                f"[INFO] adapt capacities: ray_frac={frac:.3f} "
-                f"sample_mult={mult} march_iters={march_iters} "
-                f"sample_slots={slots} "
+                f"[INFO] adapt capacities: ray_frac={rc2.ray_capacity_frac:.3f} "
+                f"sample_mult={rc2.sample_capacity_mult} "
+                f"march_iters={rc2.march_iters} "
+                f"sample_slots={rc2.sample_slots} "
                 f"(hits={n_hit}, samples={n_needed}, max_count={n_max}, "
                 f"occ_r={radius:.3f})"
             )

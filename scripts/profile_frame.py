@@ -88,6 +88,8 @@ def main():
     from radnerf_tpu.models import render_rays
 
     net_cfg, rc, params, state, batch, aud_stream = B.build_scene()
+    rc = B.size_capacities(net_cfg, rc, params, state, batch, aud_stream[0],
+                           probe_batch=B.build_scene(256, 256)[4])
 
     @jax.jit
     def render_frame(params, state, batch, auds):

@@ -444,3 +444,76 @@ def test_compact_samples_roundtrip():
     _, ok2, sp2, _ = compact_samples(jnp.asarray(valid), 4)
     assert int(np.asarray(ok2).sum()) == 4
     assert int((np.asarray(sp2) < 4).sum()) == 4
+
+
+def test_mip_level_matches_frexpf():
+    """_mip_level's exponent extraction is bit-exact against C frexpf
+    semantics, including at exact powers of two where a log2-based
+    emulation rounds wrong (VERDICT round 1, weak #6)."""
+    import math
+
+    from radnerf_tpu.ops.marching import MarchConfig, _mip_level
+
+    cfg = MarchConfig(bound=8.0, cascade=4, grid_size=32, max_steps=16,
+                      dt_gamma=0.0)
+    vals = [0.0625, 0.125, 0.25, 0.5, 1.0, 2.0, 4.0, 8.0]
+    vals += [np.nextafter(np.float32(v), np.float32(0)) for v in vals]
+    vals += [np.nextafter(np.float32(v), np.float32(100)) for v in vals[:8]]
+    vals += [0.3, 0.7, 1.5, 3.1, 5.9, 7.99, 1e-30]
+    xs = np.asarray([[v, 0.0, 0.0] for v in vals], np.float32)
+    # dt tiny so mip_from_dt never dominates
+    got = np.asarray(_mip_level(jnp.asarray(xs),
+                                jnp.full((len(vals),), 1e-6), cfg))
+    for v, g in zip(vals, got):
+        e = math.frexp(np.float32(v))[1]
+        want = min(cfg.cascade - 1, max(0, e))
+        assert g == want, f"mx={v!r}: got level {g}, frexpf wants {want}"
+
+
+@pytest.mark.parametrize("dt_gamma", [0.0, 1.0 / 256])
+def test_march_rays_cascade_matches_reference(dt_gamma):
+    """bound > 1 marching (cascade 3, mip-level cell sizing + dt_max
+    scaling) against the CUDA-transcription oracle."""
+    H, cascade, bound, max_steps = 32, 3, 4.0, 32
+    bitfield = _random_scene(11, cascade, H, occupied_frac=0.10)
+    rng = np.random.default_rng(6)
+
+    N = 24
+    o = np.zeros((N, 3), np.float32)
+    o[:, 2] = -10.0
+    o[:, 0] = rng.uniform(-2.5, 2.5, N)
+    o[:, 1] = rng.uniform(-1.5, 1.5, N)
+    d = np.zeros((N, 3), np.float32)
+    d[:, 2] = 1.0
+    d[:, 0] = rng.uniform(-0.3, 0.3, N)
+    d[:, 1] = rng.uniform(-0.2, 0.2, N)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+
+    aabb = jnp.array([-bound, -bound / 2, -bound, bound, bound / 2, bound])
+    nears, fars = near_far_from_aabb(jnp.asarray(o), jnp.asarray(d), aabb, 0.05)
+
+    cfg = MarchConfig(bound=bound, cascade=cascade, grid_size=H,
+                      max_steps=max_steps, dt_gamma=dt_gamma)
+    out = march_rays(jnp.asarray(o), jnp.asarray(d), nears, fars,
+                     jnp.asarray(bitfield), cfg)
+
+    got_t = np.asarray(out["t"])
+    got_dt = np.asarray(out["dt"])
+    got_valid = np.asarray(out["valid"])
+    got_xyz = np.asarray(out["xyz"])
+
+    n_checked = 0
+    for n in range(N):
+        want = ref_march_ray(o[n], d[n], float(nears[n]), float(fars[n]),
+                             bitfield, bound, cascade, H, max_steps, dt_gamma)
+        n_want = len(want)
+        n_checked += n_want
+        assert int(got_valid[n].sum()) == n_want, f"ray {n}: sample count"
+        for s, (wx, wy, wz, wdt, wt_after) in enumerate(want):
+            assert got_valid[n, s]
+            np.testing.assert_allclose(got_t[n, s] + got_dt[n, s], wt_after,
+                                       rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(got_dt[n, s], wdt, rtol=1e-5)
+            np.testing.assert_allclose(got_xyz[n, s], [wx, wy, wz],
+                                       rtol=1e-4, atol=2e-5)
+    assert n_checked > 50  # the scene actually exercises the cascades
