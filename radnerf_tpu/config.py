@@ -105,7 +105,7 @@ class Options:
     pose: str = ""  # inference-only: pose json
 
     # TPU-specific knobs (no reference counterpart)
-    sample_capacity_mult: int = 4  # field-eval buffer = mult * num_rays
+    sample_capacity_mult: float = 4.0  # field-eval buffer = mult * num_rays
     march_iters: Optional[int] = None  # None -> safe bound from MarchConfig
     data_parallel: bool = False  # shard ray batches over the device mesh
     # adapt ray/sample capacities to measured occupancy (the mean_count

@@ -8,6 +8,7 @@ from .network import (
     forward_torso,
     init_params,
     param_groups,
+    precompute_packed_tables,
 )
 from .renderer import (
     GRID_SIZE,
@@ -31,6 +32,7 @@ __all__ = [
     "forward_torso",
     "init_params",
     "param_groups",
+    "precompute_packed_tables",
     "GRID_SIZE",
     "RenderConfig",
     "RendererState",

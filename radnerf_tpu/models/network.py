@@ -53,15 +53,46 @@ from .audio import (
 from .modules import mlp_apply, mlp_init
 
 
-def _encode(x, embeddings, spec: GridSpec, bound: float, table_dtype=None):
+def _encode(x, embeddings, spec: GridSpec, bound: float, table_dtype=None,
+            packed=None):
     """Grid encode via the corner-packed fast path (one gather row per
     point-level, per-level VMEM-sized tables) for tiled grids; plain
     per-corner gathers otherwise. ``table_dtype=bfloat16`` halves row bytes
-    (the fp16-AMP analogue; interpolation stays fp32)."""
+    (the fp16-AMP analogue; interpolation stays fp32).
+
+    ``packed`` short-circuits the in-graph table packing with tables built
+    once by :func:`precompute_packed_tables` — at inference the embeddings
+    are frozen, and re-packing them every frame cost ~19 ms/frame of
+    copies/reshapes in the profiled 512x512 render (PERFORMANCE.md).
+    Inference-only: gradients do not flow from a precomputed table to the
+    embeddings."""
     if spec.gridtype == "tiled":
-        packed = build_packed_table(embeddings, spec, dtype=table_dtype)
+        if packed is None:
+            packed = build_packed_table(embeddings, spec, dtype=table_dtype)
         return grid_encode_packed(x, packed, spec, bound)
     return grid_encode(x, embeddings, spec, bound)
+
+
+def precompute_packed_tables(params: dict, cfg: "NetworkConfig") -> dict:
+    """Shallow-copy ``params`` with corner-packed encoder tables attached.
+
+    The returned dict carries ``_packed_encoder`` / ``_packed_ambient`` /
+    ``_packed_torso`` entries that ``field_forward`` / ``forward_torso``
+    use instead of re-packing the (frozen) embeddings inside every jitted
+    frame. Call once per parameter change (e.g. after checkpoint load);
+    never feed the result to the optimizer."""
+    p = dict(params)
+    if cfg.grid_spec.gridtype == "tiled":
+        p["_packed_encoder"] = build_packed_table(
+            params["encoder"], cfg.grid_spec, dtype=cfg.table_dtype)
+    if cfg.ambient_spec.gridtype == "tiled":
+        p["_packed_ambient"] = build_packed_table(
+            params["encoder_ambient"], cfg.ambient_spec, dtype=cfg.table_dtype)
+    if cfg.torso and "torso_encoder" in params \
+            and cfg.torso_spec.gridtype == "tiled":
+        p["_packed_torso"] = build_packed_table(
+            params["torso_encoder"], cfg.torso_spec, dtype=cfg.table_dtype)
+    return p
 
 
 @dataclasses.dataclass(frozen=True)
@@ -227,7 +258,8 @@ def _spatial_and_ambient(params, cfg: NetworkConfig, x, enc_a):
     """Shared trunk of forward/density (network.py:233-252)."""
     dt = cfg.dtype
     enc_x = _encode(x, params["encoder"], cfg.grid_spec, cfg.bound,
-                    table_dtype=cfg.table_dtype)
+                    table_dtype=cfg.table_dtype,
+                    packed=params.get("_packed_encoder"))
     if enc_a is None:
         ambient = jnp.zeros((*x.shape[:-1], cfg.ambient_dim), jnp.float32)
     else:
@@ -236,7 +268,8 @@ def _spatial_and_ambient(params, cfg: NetworkConfig, x, enc_a):
         ambient = mlp_apply(params["ambient_net"], h, dt).astype(jnp.float32)
         ambient = jnp.tanh(ambient)  # [-1, 1]^amb_dim
     enc_w = _encode(ambient, params["encoder_ambient"], cfg.ambient_spec, 1.0,
-                    table_dtype=cfg.table_dtype)
+                    table_dtype=cfg.table_dtype,
+                    packed=params.get("_packed_ambient"))
     return enc_x, enc_w, ambient
 
 
@@ -306,7 +339,8 @@ def forward_torso(params, cfg: NetworkConfig, x, pose6, c=None):
     dx = mlp_apply(params["torso_deform_net"], h.astype(dt), dt).astype(jnp.float32)
     xp = jnp.clip(x + dx, -1.0, 1.0)
     enc_t = _encode(xp, params["torso_encoder"], cfg.torso_spec, 1.0,
-                     table_dtype=cfg.table_dtype)
+                    table_dtype=cfg.table_dtype,
+                    packed=params.get("_packed_torso"))
     h2 = jnp.concatenate([enc_t.astype(dt), h.astype(dt)], axis=-1)
     h2 = mlp_apply(params["torso_net"], h2, dt).astype(jnp.float32)
     alpha = jax.nn.sigmoid(h2[..., :1])

@@ -65,8 +65,11 @@ class RenderConfig:
     smooth_lips: bool = False
     density_scale: float = 1.0
     T_thresh: float = 1e-4
-    # TPU: static field-eval buffer size as a multiple of the ray count
-    sample_capacity_mult: int = 4
+    # TPU: static field-eval buffer size as a multiple of the (compacted)
+    # ray count; fractional values are allowed (the buffer is bucketed to
+    # 128 rows) — integer-only mults waste up to R unused slots of encoder
+    # gathers per frame
+    sample_capacity_mult: float = 4.0
     march_iters: Optional[int] = None
     # TPU: static capacity for occupied-bbox ray compaction, as a fraction of
     # the ray count; >= 1.0 disables ray compaction (all rays marched).
@@ -89,6 +92,16 @@ class RenderConfig:
     @property
     def cascade(self) -> int:
         return 1 + math.ceil(math.log2(max(self.bound, 1.0)))  # renderer.py:69
+
+    @staticmethod
+    def ray_capacity(n_rays: int, frac: float) -> int:
+        """Static compacted-ray count for a capacity fraction (x128 rows)."""
+        return max(128, int(-(-n_rays * min(frac, 1.0) // 128)) * 128)
+
+    @staticmethod
+    def sample_capacity(n_rays_cap: int, mult: float) -> int:
+        """Static field-eval buffer rows for a compacted ray count (x128)."""
+        return max(128, int(-(-n_rays_cap * mult // 128)) * 128)
 
     @property
     def aabb(self) -> tuple:
@@ -138,6 +151,18 @@ class RendererState:
     occ_bbox: jax.Array  # [6] world-space bounds of occupied cells
     occ_sphere: jax.Array  # [4] (cx, cy, cz, radius) bounding sphere
     sigma_bytes: jax.Array  # [cascade*H^3] uint8 occ|log-sigma byte field
+    # derived: pack_sigma_byte_rows(sigma_bytes), cached in state because
+    # re-packing in-frame cost 1.9 ms/frame (PERFORMANCE.md). NEVER set
+    # sigma_bytes with a bare .replace() — use with_sigma_bytes() so the
+    # two stay in sync.
+    sigma_rows: jax.Array  # [cascade*H^3/32, 8] uint32 row view
+
+    def with_sigma_bytes(self, sigma_bytes: jax.Array) -> "RendererState":
+        """Set the byte field AND its packed row view (the invariant)."""
+        return self.replace(
+            sigma_bytes=sigma_bytes,
+            sigma_rows=pack_sigma_byte_rows(sigma_bytes),
+        )
 
     @staticmethod
     def create(cfg: RenderConfig, audio_dim: int = 64) -> "RendererState":
@@ -155,6 +180,7 @@ class RendererState:
             occ_bbox=jnp.asarray([-b, -b, -b, b, b, b], jnp.float32),
             occ_sphere=jnp.asarray([0.0, 0.0, 0.0, b * SQRT3], jnp.float32),
             sigma_bytes=jnp.zeros((cas * H**3,), jnp.uint8),
+            sigma_rows=jnp.zeros((cas * H**3 // 32, 8), jnp.uint32),
         )
 
 
@@ -384,7 +410,7 @@ def render_rays(
         ind_code = None
 
     results = {}
-    sigma_rows = pack_sigma_byte_rows(state.sigma_bytes)
+    sigma_rows = state.sigma_rows  # packed once per grid update, not per frame
 
     # clip marching to the occupied-cell bounding box (pure math; bits
     # outside it are guaranteed zero, so the skipped orbit points are
@@ -411,7 +437,8 @@ def render_rays(
             cull_T=cfg.cull_T,
         )
         if compact:
-            capacity = cfg.sample_capacity_mult * o.shape[0]
+            capacity = RenderConfig.sample_capacity(
+                o.shape[0], cfg.sample_capacity_mult)
             sig, col, amb, val = _eval_field_compacted(
                 params, net_cfg, march, d, enc_a, ind_code, eye, capacity
             )
@@ -446,7 +473,7 @@ def render_rays(
         # ray compaction: march/evaluate only rays whose interval intersects
         # the occupied bbox (the TPU analogue of the reference's alive-ray
         # list, renderer.py:233-262), at a static capacity.
-        R = max(128, int(-(-N * cfg.ray_capacity_frac // 128)) * 128)
+        R = RenderConfig.ray_capacity(N, cfg.ray_capacity_frac)
         pos = jnp.cumsum(hit.astype(jnp.int32)) - 1
         slot = jnp.where(hit & (pos < R), pos, R)
         ray_idx = jnp.zeros((R,), jnp.int32).at[slot].set(
@@ -521,7 +548,7 @@ def render_rays(
         else:
             # compact masked pixels (the reference's masked torso query,
             # renderer.py:285-293) at a static capacity
-            Rt = max(128, int(-(-N * t_frac // 128)) * 128)
+            Rt = RenderConfig.ray_capacity(N, t_frac)
             pos_t = jnp.cumsum(mask.astype(jnp.int32)) - 1
             ok_t = mask & (pos_t < Rt)
             slot_t = jnp.where(ok_t, pos_t, Rt)
@@ -618,8 +645,7 @@ def update_density_grid(
         mean_density=mean_density,
         occ_bbox=compute_occ_bbox(cfg, new_grid, thresh),
         occ_sphere=compute_occ_sphere(cfg, new_grid, thresh),
-        sigma_bytes=build_sigma_bytes(new_grid, thresh),
-    )
+    ).with_sigma_bytes(build_sigma_bytes(new_grid, thresh))
 
 
 def update_torso_grid(

@@ -34,6 +34,9 @@ import numpy as np
 
 _PRIMES = (1, 2654435761, 805459861, 3674653429, 2097192037, 1434869437, 2165219737)
 _U32 = 1 << 32
+# one-hot MXU fetch beats XLA gather up to this table size (measured
+# crossover on v5e, scripts/bench_gather.py / PERFORMANCE.md)
+_ONEHOT_MAX_ROWS = 2048
 
 
 @dataclasses.dataclass(frozen=True)
@@ -314,7 +317,19 @@ def grid_encode01_packed(
                 key = key + pg[..., d] * jnp.uint32(strides[d])
         key = key % jnp.uint32(hashmap_size)
 
-        rows = jnp.take(packed[level], key.astype(jnp.int32), axis=0)
+        T = packed[level].shape[0]
+        if T <= _ONEHOT_MAX_ROWS:
+            # one-hot matmul fetch on the MXU: measured 1.6-3.8x faster
+            # than XLA's gather for tables <= 2048 rows (bench_gather.py:
+            # 1139M rows/s at T=512, 498M at T=2048 vs take's ~300M) —
+            # only the smallest 2-D levels qualify. Exact: a single 1.0
+            # per row selects the stored value bit-for-bit.
+            oh = (key.astype(jnp.int32)[..., None]
+                  == jnp.arange(T, dtype=jnp.int32))
+            rows = jnp.einsum("...t,tw->...w", oh.astype(packed[level].dtype),
+                              packed[level])
+        else:
+            rows = jnp.take(packed[level], key.astype(jnp.int32), axis=0)
         rows = rows.astype(jnp.float32).reshape(*rows.shape[:-1], n_corners, C)
 
         # trilinear weights, corner-major to match packing order

@@ -280,8 +280,13 @@ def sigma_byte_lookup(
     cell = level * (H * H * H) + morton3d(nxyz)
 
     row = jnp.take(sigma_rows, cell >> 5, axis=0)  # [..., 8] uint32 = 32 cells
-    # 3-level binary select of the word (7 selects) instead of an 8-way
-    # one-hot compare+reduce (24 VPU ops) — measured cheaper
+    # 3-level binary select of the word (7 selects). Measured alternatives
+    # at bench scale (9.2M lookups, PERFORMANCE.md): this path costs
+    # 16.6 ms gather + 6.9 ms relayout copy + ~1 ms selects = 24.4 ms; an
+    # 8-way one-hot masked-sum extraction avoids the copy but its lane
+    # reduce costs 12.2 ms (net 28.8); flat width-1 u32 fetches 66 ms;
+    # u32[4]/u32[2] rows 32/126 ms. This layout+select combination is the
+    # measured optimum — do not "fix" the relayout copy without re-timing.
     half = jnp.where((cell[..., None] & 16) > 0, row[..., 4:8], row[..., 0:4])
     quad = jnp.where((cell[..., None] & 8) > 0, half[..., 2:4], half[..., 0:2])
     word = jnp.where((cell & 4) > 0, quad[..., 1], quad[..., 0])

@@ -15,9 +15,10 @@ import dataclasses
 from typing import Optional
 
 
-def ray_capacity(n_rays: int, frac: float) -> int:
-    """The static compacted-ray count for a given fraction (multiple of 128)."""
-    return max(128, int(-(-n_rays * min(frac, 1.0) // 128)) * 128)
+from ..models.renderer import RenderConfig
+
+ray_capacity = RenderConfig.ray_capacity
+sample_capacity = RenderConfig.sample_capacity
 
 
 def adapt_render_config(
@@ -35,7 +36,8 @@ def adapt_render_config(
 
     - ray capacity: keep hits within [40%, 85%] of capacity (1/8 buckets,
       rounded UP so growth is immediate, shrink only on big slack),
-    - sample capacity: keep needed samples within [35%, 85%] (integer mult),
+    - sample capacity: quarter-step mult covering needed samples with
+      headroom (shrink only past a half-step of slack),
     - march orbit length: cover the occupied-sphere diameter (+margin) only,
       in buckets of 8,
     - sample-lattice width: grow when the marcher saturates it, shrink on
@@ -57,8 +59,10 @@ def adapt_render_config(
     mult = rc.sample_capacity_mult
     r_for_mult = ray_capacity(n_rays, frac)
     used = n_needed / max(r_for_mult, 1)
-    want_mult = max(1, int(-(-used * headroom // 1)))
-    if fresh or want_mult > mult or (want_mult < mult and used < 0.35 * mult):
+    # quarter-step granularity: integer mults waste up to R slots of
+    # encoder gathers per frame; shrink only past a half-step of slack
+    want_mult = max(0.25, -(-used * headroom / 0.25 // 1) * 0.25)
+    if fresh or want_mult > mult or want_mult < mult - 0.5:
         mult = want_mult
 
     march_iters = rc.march_iters

@@ -300,7 +300,8 @@ class Trainer:
             # scene still outgrows the static capacities silently DROPS work
             # (the exact bug class this mechanism kills) — be loud about it
             R_now = ray_capacity(n_rays, rc.ray_capacity_frac)
-            S_now = R_now * rc.sample_capacity_mult
+            from ..models.renderer import RenderConfig
+            S_now = RenderConfig.sample_capacity(R_now, rc.sample_capacity_mult)
             if n_hit > R_now or n_needed > S_now:
                 self.log(
                     f"[WARN] adaptive-capacity cap ({self._adapt_cap} recompiles) "
@@ -500,8 +501,9 @@ class Trainer:
             st = np.asarray(last_stats)
             rc = self.render_cfg
             n_rays = int(getattr(self, "_last_n_rays", 0))
-            R = max(128, int(-(-n_rays * min(rc.ray_capacity_frac, 1.0) // 128)) * 128)
-            S = R * rc.sample_capacity_mult
+            from ..models.renderer import RenderConfig
+            R = RenderConfig.ray_capacity(n_rays, rc.ray_capacity_frac)
+            S = RenderConfig.sample_capacity(R, rc.sample_capacity_mult)
             cap_note = (
                 f", hits {int(st[0])}/{R} rays, samples {int(st[1])}/{S}"
                 + (" [DROPPING]" if int(st[0]) > R or int(st[1]) > S else "")
@@ -513,7 +515,16 @@ class Trainer:
 
     # ------------------------------------------------------------- eval API
     def _eval_params(self):
-        return self.ema_params if self.ema_params is not None else self.params
+        base = self.ema_params if self.ema_params is not None else self.params
+        # attach corner-packed encoder tables, re-packing only when the
+        # underlying params object changed (e.g. after a train epoch):
+        # in-frame re-packing costs ~19 ms/frame at eval (PERFORMANCE.md)
+        from ..models import precompute_packed_tables
+
+        cached = getattr(self, "_packed_cache", None)
+        if cached is None or cached[0] is not base:
+            self._packed_cache = (base, precompute_packed_tables(base, self.net_cfg))
+        return self._packed_cache[1]
 
     def eval_step(self, batch):
         render = self._get_render_fn()
@@ -793,8 +804,7 @@ class Trainer:
             st = st.replace(
                 occ_bbox=compute_occ_bbox(rc, st.density_grid, thresh),
                 occ_sphere=compute_occ_sphere(rc, st.density_grid, thresh),
-                sigma_bytes=build_sigma_bytes(st.density_grid, thresh),
-            )
+            ).with_sigma_bytes(build_sigma_bytes(st.density_grid, thresh))
         else:
             # grid-less "best"-style checkpoint (reference drops density_grid
             # but keeps density_bitfield, nerf/utils.py:1353-1355, and renders
@@ -803,18 +813,16 @@ class Trainer:
             # MINIMUM 7-bit sigma code (byte 128|1) so the density-prior
             # transmittance cull is a no-op — conservative, never drops work.
             if "sigma_bytes" in arrays:
-                st = st.replace(
-                    sigma_bytes=jnp.asarray(arrays["sigma_bytes"], jnp.uint8)
+                st = st.with_sigma_bytes(
+                    jnp.asarray(arrays["sigma_bytes"], jnp.uint8)
                     .reshape(st.sigma_bytes.shape)
                 )
             elif "density_bitfield" in arrays:
                 occ = unpackbits(
                     st.density_bitfield, rc.cascade, rc.grid_size
                 ).reshape(-1)
-                st = st.replace(
-                    sigma_bytes=jnp.where(
-                        occ > 0, jnp.uint8(129), jnp.uint8(0)
-                    )
+                st = st.with_sigma_bytes(
+                    jnp.where(occ > 0, jnp.uint8(129), jnp.uint8(0))
                 )
             if "occ_bbox" in arrays and "occ_sphere" in arrays:
                 st = st.replace(

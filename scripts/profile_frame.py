@@ -55,6 +55,7 @@ def summarize_trace(log_dir: str, top_k: int = 25):
     }
 
     by_op = defaultdict(float)
+    op_meta = {}
     total = 0.0
     for ev in events:
         if ev.get("ph") != "X" or "dur" not in ev:
@@ -66,12 +67,16 @@ def summarize_trace(log_dir: str, top_k: int = 25):
             continue
         by_op[name] += ev["dur"]
         total += ev["dur"]
+        a = ev.get("args") or {}
+        meta = a.get("long_name") or a.get("tf_op") or a.get("source") or ""
+        if meta and name not in op_meta:
+            op_meta[name] = str(meta)[:160]
 
     cats = defaultdict(float)
     for name, dur in by_op.items():
         base = name.split(".")[0].split("(")[0]
         cats[base] += dur
-    return by_op, cats, total
+    return by_op, cats, total, op_meta
 
 
 def main():
@@ -87,9 +92,12 @@ def main():
     import bench as B
     from radnerf_tpu.models import render_rays
 
+    from radnerf_tpu.models import precompute_packed_tables
+
     net_cfg, rc, params, state, batch, aud_stream = B.build_scene()
     rc = B.size_capacities(net_cfg, rc, params, state, batch, aud_stream[0],
                            probe_batch=B.build_scene(256, 256)[4])
+    params = precompute_packed_tables(params, net_cfg)  # match bench.py
 
     @jax.jit
     def render_frame(params, state, batch, auds):
@@ -112,11 +120,11 @@ def main():
             )
         float(jnp.sum(img))
 
-    by_op, cats, total = summarize_trace(args.out, args.top)
+    by_op, cats, total, op_meta = summarize_trace(args.out, args.top)
     n = args.frames
     print(f"\n== per-op device time (sum over {n} frames; us) ==")
     for name, dur in sorted(by_op.items(), key=lambda kv: -kv[1])[: args.top]:
-        print(f"{dur / n:10.0f} us/frame  {name}")
+        print(f"{dur / n:10.0f} us/frame  {name}  {op_meta.get(name, '')}")
     print(f"\n== category rollup (us/frame) ==")
     for name, dur in sorted(cats.items(), key=lambda kv: -kv[1])[:15]:
         print(f"{dur / n:10.0f} us/frame  {name}")

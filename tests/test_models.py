@@ -101,10 +101,9 @@ def test_render_rays_end_to_end(params):
     # occupy everything so rays sample
     state = state.replace(
         density_bitfield=jnp.full_like(state.density_bitfield, 255),
-        sigma_bytes=jnp.full_like(state.sigma_bytes, 168),
         density_grid_torso=jnp.ones_like(state.density_grid_torso),
         mean_density_torso=jnp.ones(()) * 0.5,
-    )
+    ).with_sigma_bytes(jnp.full_like(state.sigma_bytes, 168))
     rng = np.random.default_rng(0)
     rays_o = np.tile(np.array([[0.0, 0.0, -3.5]], np.float32), (N, 1))
     dirs = np.concatenate(
@@ -156,8 +155,7 @@ def test_render_rays_differentiable(params):
     state = RendererState.create(RC)
     state = state.replace(
         density_bitfield=jnp.full_like(state.density_bitfield, 255),
-        sigma_bytes=jnp.full_like(state.sigma_bytes, 168),
-    )
+    ).with_sigma_bytes(jnp.full_like(state.sigma_bytes, 168))
     rays_o = jnp.tile(jnp.array([[0.0, 0.0, -3.5]]), (N, 1))
     rays_d = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (N, 1))
     bg_coords = jnp.zeros((N, 2))
@@ -312,10 +310,9 @@ def test_fast_path_matches_exhaustive(params):
     state = state.replace(
         density_grid=grid,
         density_bitfield=packbits(grid, 0.5),
-        sigma_bytes=build_sigma_bytes(grid, 0.5),
         occ_bbox=compute_occ_bbox(rc_fast, grid, 0.5),
         occ_sphere=compute_occ_sphere(rc_fast, grid, 0.5),
-    )
+    ).with_sigma_bytes(build_sigma_bytes(grid, 0.5))
 
     N = 1024
     rays_o = np.tile(np.array([[0.0, 0.0, -3.3]], np.float32), (N, 1))

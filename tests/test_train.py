@@ -162,8 +162,7 @@ def test_trainer_test_video(data_dir, tmp_path):
     # occupancy so something renders
     tr.state = tr.state.replace(
         density_bitfield=jnp.full_like(tr.state.density_bitfield, 255),
-        sigma_bytes=jnp.full_like(tr.state.sigma_bytes, 168)
-    )
+    ).with_sigma_bytes(jnp.full_like(tr.state.sigma_bytes, 168))
     fps = tr.test(ds, save_path=str(tmp_path / "out"), write_image=True)
     assert fps > 0
     outs = os.listdir(tmp_path / "out")
