@@ -49,6 +49,11 @@ def build_scene(H_img=512, W_img=512):
     # starting capacities: generous; main() sizes them from measured
     # telemetry via the SAME rules the Trainer uses (train/capacity.py),
     # so the headline FPS is not an artifact of hand-tuned capacities
+    # march_group=False: two-level grouped marching is measured NET-NEUTRAL
+    # here — it cuts march gather rows 9.2M -> 4.9M (~9 ms) but its
+    # plumbing (slab return, relayout copies, index builds) costs ~16 ms
+    # (PERFORMANCE.md). The implementation stays (correct, tested) for
+    # scenes with much larger empty-space ratios.
     rc = RenderConfig(torso=True, exp_eye=True, max_steps=16,
                       dt_gamma=1.0 / 256, sample_capacity_mult=6,
                       march_iters=None, ray_capacity_frac=1.0,
@@ -144,7 +149,8 @@ def size_capacities(net_cfg, rc, params, state, batch, auds,
         )[0])
         r = fn(params, state, b, auds)
         return {k: int(r[k]) for k in
-                ("n_hit", "n_samples_needed", "n_max_count", "n_torso_mask")}
+                ("n_hit", "n_samples_needed", "n_max_count", "n_torso_mask",
+                 "n_groups_needed", "n_group_max")}
 
     radius = float(state.occ_sphere[3])
     probe = probe_batch if probe_batch is not None else batch
@@ -159,18 +165,38 @@ def size_capacities(net_cfg, rc, params, state, batch, auds,
         radius, n_torso=t["n_torso_mask"], headroom=1.1, fresh=True,
     ) or rc
 
-    # confirm at full resolution; grow (hysteresis rules) on any drop
+    # second fresh pass at FULL resolution: the probe ran the dense
+    # marcher (its generous march_iters disqualify grouping), so the
+    # two-level group capacities can only be sized from full-res telemetry
     n_rays = batch["rays_o"].shape[0]
+    t2 = telemetry(rc2, batch)
+    rc2 = adapt_render_config(
+        rc2, t2["n_hit"], t2["n_samples_needed"], t2["n_max_count"], n_rays,
+        radius, n_torso=t2["n_torso_mask"],
+        n_groups=t2["n_groups_needed"] or None,
+        n_group_max=t2["n_group_max"] or None,
+        headroom=1.1, fresh=True,
+    ) or rc2
+
+    # confirm at full resolution; grow (hysteresis rules) on any drop
     for _ in range(3):
         t2 = telemetry(rc2, batch)
         R = ray_capacity(n_rays, rc2.ray_capacity_frac)
+        groups_ok = (not rc2.march_group or (
+            t2["n_groups_needed"]
+            <= RenderConfig.sample_capacity(R, rc2.march_group_mult)
+            and (rc2.march_group_slots is None
+                 or t2["n_group_max"] <= rc2.march_group_slots)))
         if (t2["n_hit"] <= R
                 and t2["n_samples_needed"]
-                <= RenderConfig.sample_capacity(R, rc2.sample_capacity_mult)):
+                <= RenderConfig.sample_capacity(R, rc2.sample_capacity_mult)
+                and groups_ok):
             break
         grown = adapt_render_config(
             rc2, t2["n_hit"], t2["n_samples_needed"], t2["n_max_count"],
             n_rays, radius, n_torso=t2["n_torso_mask"],
+            n_groups=t2["n_groups_needed"] or None,
+            n_group_max=t2["n_group_max"] or None,
         )
         if grown is None:
             break
@@ -184,6 +210,8 @@ def size_capacities(net_cfg, rc, params, state, batch, auds,
         "sample_capacity_mult": rc2.sample_capacity_mult,
         "march_iters": rc2.march_iters, "sample_slots": rc2.sample_slots,
         "torso_capacity_frac": rc2.torso_capacity_frac,
+        "march_group_mult": rc2.march_group_mult,
+        "march_group_slots": rc2.march_group_slots,
         "telemetry": t2,
     }}), file=sys.stderr, flush=True)
     return rc2

@@ -36,7 +36,12 @@ from ..ops import (
     near_far_from_aabb,
     packbits,
 )
-from ..ops.marching import build_sigma_bytes, pack_sigma_byte_rows
+from ..ops.marching import (
+    build_coarse_rows,
+    build_sigma_bytes,
+    march_rays_grouped,
+    pack_sigma_byte_rows,
+)
 from .network import (
     NetworkConfig,
     encode_audio,
@@ -88,6 +93,15 @@ class RenderConfig:
     # density grid is already < cull_T (<< T_thresh, so the compositor's
     # early-termination chain would never process them). 0 disables.
     cull_T: float = 1e-6
+    # TPU: two-level marching (ops.marching.march_rays_grouped). True
+    # enables it when the config qualifies (affine orbit, cascade 1);
+    # march_group_mult sizes the global kept-group buffer as a multiple of
+    # the compacted ray count (overflow drops groups — telemetry
+    # n_groups_needed; sized like the other capacities); march_group_slots
+    # caps kept groups PER RAY (None -> ceil(K/group): never truncates).
+    march_group: bool = False
+    march_group_mult: float = 4.0
+    march_group_slots: Optional[int] = None
 
     @property
     def cascade(self) -> int:
@@ -156,12 +170,21 @@ class RendererState:
     # sigma_bytes with a bare .replace() — use with_sigma_bytes() so the
     # two stay in sync.
     sigma_rows: jax.Array  # [cascade*H^3/32, 8] uint32 row view
+    # derived: build_coarse_rows(sigma_bytes) — 4^3-supercell dilated-occ /
+    # eroded-min byte field for two-level marching (same invariant)
+    coarse_rows: jax.Array  # [cascade*(H/4)^3/32, 8] uint32
+
+    MARCH_GROUP = 4  # fine steps per coarse supercell group
 
     def with_sigma_bytes(self, sigma_bytes: jax.Array) -> "RendererState":
-        """Set the byte field AND its packed row view (the invariant)."""
+        """Set the byte field AND its packed derived views (the invariant)."""
+        cas, ncells = self.density_grid.shape
+        H = round(ncells ** (1.0 / 3.0))
         return self.replace(
             sigma_bytes=sigma_bytes,
             sigma_rows=pack_sigma_byte_rows(sigma_bytes),
+            coarse_rows=build_coarse_rows(
+                sigma_bytes, cas, H, RendererState.MARCH_GROUP),
         )
 
     @staticmethod
@@ -181,6 +204,10 @@ class RendererState:
             occ_sphere=jnp.asarray([0.0, 0.0, 0.0, b * SQRT3], jnp.float32),
             sigma_bytes=jnp.zeros((cas * H**3,), jnp.uint8),
             sigma_rows=jnp.zeros((cas * H**3 // 32, 8), jnp.uint32),
+            coarse_rows=jnp.zeros(
+                (cas * (H // RendererState.MARCH_GROUP) ** 3 // 32, 8),
+                jnp.uint32,
+            ),
         )
 
 
@@ -431,11 +458,28 @@ def render_rays(
     hit = t_lo < t_hi
 
     def run_head(o, d, nr, fr, lo, hi, nz):
-        march = march_rays(
-            o, d, nr, fr, state.density_bitfield, mcfg,
-            noises=nz, t_window=(lo, hi), sigma_rows=sigma_rows,
-            cull_T=cfg.cull_T,
+        g = RendererState.MARCH_GROUP
+        use_grouped = (
+            cfg.march_group
+            and mcfg.cascade == 1
+            and (mcfg.dt_gamma == 0.0 or mcfg.dt_min == mcfg.dt_max)
+            and -(-mcfg.n_march_iters // g) <= 24
         )
+        if use_grouped:
+            Kg = -(-mcfg.n_march_iters // g)
+            march = march_rays_grouped(
+                o, d, nr, fr, mcfg, sigma_rows, state.coarse_rows,
+                (lo, hi), g,
+                RenderConfig.sample_capacity(o.shape[0], cfg.march_group_mult),
+                min(cfg.march_group_slots or Kg, Kg),
+                noises=nz, cull_T=cfg.cull_T,
+            )
+        else:
+            march = march_rays(
+                o, d, nr, fr, state.density_bitfield, mcfg,
+                noises=nz, t_window=(lo, hi), sigma_rows=sigma_rows,
+                cull_T=cfg.cull_T,
+            )
         if compact:
             capacity = RenderConfig.sample_capacity(
                 o.shape[0], cfg.sample_capacity_mult)
@@ -455,6 +499,9 @@ def render_rays(
         # samples the marcher wanted (pre-capacity), for adaptive sizing
         comp["n_samples_needed"] = jnp.sum(march["valid"].astype(jnp.int32))
         comp["max_count"] = march["max_count"]
+        zero = jnp.zeros((), jnp.int32)
+        comp["n_groups_needed"] = march.get("n_groups_needed", zero)
+        comp["n_group_max"] = march.get("n_group_max", zero)
         return comp
 
     # capacity telemetry (the reference's step_counter/mean_count stats,
@@ -469,6 +516,8 @@ def render_rays(
         ambient_sum = jnp.where(hit, comp["ambient_sum"], 0.0)
         results["n_samples_needed"] = comp["n_samples_needed"]
         results["n_max_count"] = comp["max_count"]
+        results["n_groups_needed"] = comp["n_groups_needed"]
+        results["n_group_max"] = comp["n_group_max"]
     else:
         # ray compaction: march/evaluate only rays whose interval intersects
         # the occupied bbox (the TPU analogue of the reference's alive-ray
@@ -479,19 +528,27 @@ def render_rays(
         ray_idx = jnp.zeros((R,), jnp.int32).at[slot].set(
             jnp.arange(N, dtype=jnp.int32), mode="drop"
         )
-        # three narrow gathers (2x12B + 1x24B rows from small tables) beat
-        # one wide gather from a 12-column concat: the concat itself cost
-        # ~1.7 ms/frame and the 48B rows gathered ~6x slower (PERFORMANCE.md)
-        scalars = jnp.stack(
+        # ONE 12-column concat gather: re-measured under the current
+        # layouts (PERFORMANCE.md) the fused concat+gather runs 3.1 ms vs
+        # 5.4 ms for three narrow gathers — the earlier "48B rows gather
+        # 6x slower" result predates the per-level-table layouts
+        packed_rays = jnp.concatenate(
             [
-                nears, fars, t_lo, t_hi,
-                noises if noises is not None else jnp.zeros_like(nears),
-                hit.astype(jnp.float32),
+                jnp.stack(
+                    [
+                        nears, fars, t_lo, t_hi,
+                        noises if noises is not None else jnp.zeros_like(nears),
+                        hit.astype(jnp.float32),
+                    ],
+                    axis=-1,
+                ),
+                rays_o, rays_d,
             ],
             axis=-1,
-        )[ray_idx]  # [R, 6]
-        o_c = rays_o[ray_idx]
-        d_c = rays_d[ray_idx]
+        )[ray_idx]  # [R, 12]
+        scalars = packed_rays[:, :6]
+        o_c = packed_rays[:, 6:9]
+        d_c = packed_rays[:, 9:12]
         c_hit = scalars[:, 5] > 0
         comp_c = run_head(
             o_c, d_c, scalars[:, 0], scalars[:, 1], scalars[:, 2],
@@ -513,6 +570,8 @@ def render_rays(
         ambient_sum = back[:, 5]
         results["n_samples_needed"] = comp_c["n_samples_needed"]
         results["n_max_count"] = comp_c["max_count"]
+        results["n_groups_needed"] = comp_c["n_groups_needed"]
+        results["n_group_max"] = comp_c["n_group_max"]
 
     comp = {"weights_sum": weights_sum, "depth": depth_raw,
             "image": image, "ambient_sum": ambient_sum}

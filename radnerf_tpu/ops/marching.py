@@ -45,7 +45,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from .morton import morton3d
+from .morton import morton3d, morton3d_invert
 
 SQRT3 = 1.7320508075688772
 
@@ -296,6 +296,71 @@ def sigma_byte_lookup(
     return occ, sigma_lo
 
 
+def build_coarse_rows(
+    sigma_bytes: jnp.ndarray, cascade: int, grid_size: int, group: int = 4
+) -> jnp.ndarray:
+    """Supercell byte field for two-level marching, packed as u32 rows.
+
+    One byte per ``group^3``-cell supercell (grid ``(H/group)^3`` per
+    cascade):
+      bit 7  : box-DILATED occupancy — set iff ANY fine cell in the 3^3
+               supercell neighborhood is occupied. Conservative for a
+               coarse sample within half a supercell of any fine sample
+               (the two-level marcher's skip test can then never miss an
+               occupied fine cell).
+      bits0-6: box-ERODED minimum sigma code — min of build_sigma_bytes'
+               7-bit code over the neighborhood, which is > 0 only when
+               EVERY fine cell in the neighborhood is occupied. Then every
+               fine sample of a group centered here has sigma >= the
+               dequantized code, so accumulating ``group*dt*sigma*safety``
+               per such group is a valid LOWER bound on optical depth —
+               the coarse transmittance cull is conservative w.r.t. the
+               fine path's per-sample cull.
+
+    Morton property used: cells of a ``group^3`` block are contiguous in
+    Morton order (supercell Morton index = cell Morton index >> 3*log2(g)),
+    so the pooling is a plain reshape.
+    """
+    H = grid_size
+    Hc = H // group
+    assert H % group == 0 and (group & (group - 1)) == 0
+    per = group**3
+    b = sigma_bytes.reshape(cascade, Hc**3, per)
+    occ_sup = jnp.max(b, axis=-1) >= 128  # any occupied cell
+    min_code = jnp.min(b & 0x7F, axis=-1)  # 0 iff any cell empty
+
+    # dense (x, y, z) view for the 3^3 box dilate/erode
+    coords = morton3d_invert(jnp.arange(Hc**3, dtype=jnp.int32))
+    x, y, z = coords[:, 0], coords[:, 1], coords[:, 2]
+    flat = (x * Hc + y) * Hc + z
+
+    def to_dense(v_morton, fill):
+        d = jnp.full((Hc * Hc * Hc,), fill, v_morton.dtype)
+        return d.at[flat].set(v_morton).reshape(Hc, Hc, Hc)
+
+    def window(d, init, op):
+        return jax.lax.reduce_window(
+            d, init, op, (3, 3, 3), (1, 1, 1), "SAME"
+        )
+
+    out = []
+    for cas in range(cascade):
+        occ_d = to_dense(occ_sup[cas].astype(jnp.int32), jnp.int32(0))
+        # outside the grid is empty: max-window 'SAME' pads with the init 0
+        dil = window(occ_d, jnp.int32(0), jax.lax.max)
+        code_d = to_dense(min_code[cas].astype(jnp.int32), jnp.int32(0))
+        # outside the grid is unreachable (samples are clipped to the
+        # bound), so +inf padding = "no constraint" is correct for the min
+        ero = window(code_d, jnp.int32(127), jax.lax.min)
+        byte = jnp.where(
+            dil.reshape(-1)[flat] > 0,
+            jnp.uint8(128) | jnp.clip(ero.reshape(-1)[flat], 0, 127).astype(jnp.uint8),
+            jnp.uint8(0),
+        )
+        out.append(byte)
+    return pack_sigma_byte_rows(jnp.concatenate(out))
+
+
 def pack_bitfield_rows(bitfield: jnp.ndarray) -> jnp.ndarray:
     """uint8 bitfield [B] -> uint32 row view [B//16, 4] (little-endian bytes,
     so bit k of the packed uint32 row covers cell (row*128 + word*32 + k))."""
@@ -450,6 +515,204 @@ def march_rays(
         # capacity telemetry: the largest per-ray occupied count the orbit
         # produced (pre-lattice-clip) — the Trainer sizes sample_slots off it
         "max_count": jnp.max(jnp.sum(occ.astype(jnp.int32), axis=1)),
+    }
+
+
+def march_rays_grouped(
+    rays_o: jnp.ndarray,
+    rays_d: jnp.ndarray,
+    nears: jnp.ndarray,
+    fars: jnp.ndarray,
+    cfg: MarchConfig,
+    sigma_rows: jnp.ndarray,
+    coarse_rows: jnp.ndarray,
+    t_window: tuple,
+    group: int,
+    group_capacity: int,
+    group_slots: int,
+    noises: jnp.ndarray | None = None,
+    cull_T: float = 0.0,
+    cull_safety: float = 0.5,
+):
+    """Two-level (coarse supercell -> compacted fine) marcher.
+
+    The dense marcher fetches one occupancy row per orbit point: N * K
+    rows. With K sized to the occupied-sphere DIAMETER, most fetches land
+    in guaranteed-empty space — static shapes make every ray pay the
+    worst-case orbit. This variant pays the MEAN instead:
+
+      1. COARSE: one fetch per ``group`` fine steps against the dilated/
+         eroded supercell field (build_coarse_rows): N * ceil(K/group)
+         rows from a table ``group^3``-fold smaller. Groups that are
+         coarse-unoccupied (dilated bit clear) contain NO occupied fine
+         cell — provably skippable. Groups whose eroded-min optical-depth
+         prefix already exceeds -log(cull_T) are a suffix the fine cull
+         would also drop (the eroded bound is a lower bound of the fine
+         path's per-sample estimate, and the kept prefix reproduces the
+         dense path's cumsum exactly — see the parity test).
+      2. COMPACT: surviving (ray, group) pairs are globally compacted into
+         a static ``group_capacity`` buffer (scatter-free: one N-row
+         marker scatter + cumsum/cummax maps, the _eval_field_compacted
+         pattern), so the fine stage pays sum-of-kept-groups, not
+         N * max-kept-per-ray.
+      3. FINE: ``group`` sigma-byte fetches per buffer entry, returned to
+         a per-ray ``[N, group_slots * group]`` lattice with one N-row
+         slab gather, then the SAME first-S selection/cull as the dense
+         path.
+
+    EXACTNESS: for ample capacities the emitted sample set is identical
+    to march_rays' (tests/test_ops.py::test_march_grouped_matches_dense).
+    ``group_capacity`` / ``group_slots`` overflow DROPS groups (telemetry:
+    n_groups_needed / n_group_max; the Trainer adapts, bench sizes fresh).
+
+    Requires: affine orbit (dt_min == dt_max), cascade == 1, a t_window,
+    and ceil(K/group) <= 24 (group ids ride an exact-f32 bitmask).
+    """
+    N = rays_o.shape[0]
+    S = cfg.n_sample_slots
+    K = cfg.n_march_iters
+    g = group
+    Kg = -(-K // g)
+    assert cfg.cascade == 1, "grouped marching requires cascade == 1"
+    assert cfg.dt_gamma == 0.0 or cfg.dt_min == cfg.dt_max
+    assert Kg <= 24, "group-id bitmask needs Kg <= 24 (exact f32)"
+    dt = cfg.dt_min
+    log_cull = -math.log(cull_T) if cull_T > 0.0 else None
+
+    t0 = nears
+    if noises is not None:
+        t0 = t0 + _clamp_dt(t0, cfg) * noises
+    t_lo, t_hi = t_window
+    k0 = jnp.clip(jnp.floor((t_lo - t0) / dt), 0.0, None)
+    t_end = jnp.minimum(fars, t_hi)
+
+    cfg_c = dataclasses.replace(cfg, grid_size=cfg.grid_size // g)
+
+    # ---- 1. coarse pass over group centers -----------------------------
+    j = jnp.arange(Kg, dtype=jnp.float32)[None, :]
+    kc = k0[:, None] + j * g + (g - 1) * 0.5
+    tc = t0[:, None] + kc * dt
+    xyz_c = jnp.clip(
+        rays_o[:, None, :] + tc[..., None] * rays_d[:, None, :],
+        -cfg.bound, cfg.bound,
+    )
+    occ_c, sig_c = sigma_byte_lookup(
+        xyz_c, jnp.full_like(tc, dt * g), coarse_rows, cfg_c
+    )
+    # a group whose START is beyond the window has every fine t beyond it
+    t_start = t0[:, None] + (k0[:, None] + j * g) * dt
+    m = occ_c & (t_start < t_end[:, None])
+    if log_cull is not None:
+        est_c = jnp.where(m, sig_c * (g * dt) * cull_safety, 0.0)
+        cum_c = jnp.cumsum(est_c, axis=1) - est_c
+        m = m & (cum_c <= log_cull)
+
+    counts = jnp.sum(m.astype(jnp.int32), axis=1)  # kept groups / ray
+    base = jnp.cumsum(counts) - counts
+    total = jnp.sum(counts)
+
+    # ---- 2. global (ray, group) compaction -----------------------------
+    Cg = group_capacity
+    marker = jnp.zeros((Cg,), jnp.int32).at[jnp.minimum(base, Cg)].add(
+        1, mode="drop"
+    )
+    r_of = jnp.cumsum(marker) - 1
+    iota = jnp.arange(Cg, dtype=jnp.int32)
+    seg_start = jax.lax.cummax(jnp.where(marker > 0, iota, -1))
+    s_of = iota - seg_start
+    live = (r_of >= 0) & (iota < jnp.minimum(total, Cg))
+    r_of = jnp.clip(r_of, 0, N - 1)
+
+    # per-ray row: [group bitmask, t0, k0, t_end, o, d] — ONE wide gather
+    bits = jnp.sum(
+        m.astype(jnp.float32) * jnp.exp2(j), axis=1
+    )  # exact for Kg <= 24
+    ray_rows = jnp.concatenate(
+        [
+            jnp.stack([bits, t0, k0, t_end], axis=-1),
+            rays_o, rays_d,
+        ],
+        axis=-1,
+    )  # [N, 10]
+    e = ray_rows[r_of]  # [Cg, 10]
+    e_bits, e_t0, e_k0, e_tend = e[:, 0], e[:, 1], e[:, 2], e[:, 3]
+    e_o, e_d = e[:, 4:7], e[:, 7:10]
+
+    # decode this entry's group id: position of the (s_of+1)-th set bit
+    gid = jnp.full((Cg,), 0, jnp.int32)
+    cum_bits = jnp.zeros((Cg,), jnp.int32)
+    found = jnp.zeros((Cg,), jnp.bool_)
+    for jj in range(Kg):
+        bit = (jnp.floor(e_bits * (0.5**jj)) % 2.0) >= 1.0
+        cum_bits = cum_bits + bit.astype(jnp.int32)
+        hit_now = bit & (~found) & (cum_bits == s_of + 1)
+        gid = jnp.where(hit_now, jj, gid)
+        found = found | hit_now
+
+    # ---- 3. fine pass on compacted groups ------------------------------
+    i = jnp.arange(g, dtype=jnp.float32)[None, :]
+    kf = e_k0[:, None] + gid.astype(jnp.float32)[:, None] * g + i
+    tf = e_t0[:, None] + kf * dt  # [Cg, g]
+    xyz_f = jnp.clip(
+        e_o[:, None, :] + tf[..., None] * e_d[:, None, :],
+        -cfg.bound, cfg.bound,
+    )
+    occ_f, sig_f = sigma_byte_lookup(
+        xyz_f, jnp.full_like(tf, dt), sigma_rows, cfg
+    )
+    occ_f = occ_f & (tf < e_tend[:, None]) & live[:, None] & found[:, None]
+
+    # pack (k_rel+1 | 0) and sigma planes; slab-return to per-ray lattice
+    k_plane = jnp.where(occ_f, kf - e_k0[:, None] + 1.0, 0.0)
+    payload = jnp.concatenate([k_plane, sig_f], axis=-1)  # [Cg, 2g]
+    Gs = group_slots
+    # per-(ray, ordinal) ROW gather — N*Gs rows of 2g floats. (A multi-dim
+    # slice lax.gather slab here lowered as a SEQUENTIAL while loop on TPU:
+    # 235 ms/frame at bench scale. Row gathers are the primitive that
+    # lowers well; never slab-gather with slice_sizes > 1 on dim 0.)
+    ord_i = jnp.arange(Gs, dtype=jnp.int32)[None, :]
+    pos = base[:, None] + ord_i  # [N, Gs]
+    ord_ok = (ord_i < jnp.minimum(counts, Gs)[:, None]) & (
+        pos < jnp.minimum(total, Cg)
+    )
+    slab = jnp.take(
+        payload, jnp.clip(pos, 0, Cg - 1).reshape(-1), axis=0
+    ).reshape(N, Gs, 2 * g)
+    k_l = jnp.where(ord_ok[..., None], slab[..., :g], 0.0).reshape(N, Gs * g)
+    sig_l = jnp.where(ord_ok[..., None], slab[..., g:], 0.0).reshape(N, Gs * g)
+    occ_l = k_l > 0.0
+    k_rel = jnp.maximum(k_l - 1.0, 0.0)
+
+    # fine cull — identical formula to the dense path; the lattice holds
+    # the kept groups in orbit order, and dropped groups contribute 0
+    if log_cull is not None:
+        est = jnp.where(occ_l, sig_l * dt * cull_safety, 0.0)
+        cum_prev = jnp.cumsum(est, axis=1) - est
+        occ_l = occ_l & (cum_prev <= log_cull)
+
+    # ---- first-S selection (same contraction as the dense affine path) -
+    rank = jnp.cumsum(occ_l.astype(jnp.int32), axis=1)
+    keep = occ_l & (rank <= S)
+    slot = jnp.where(keep, rank - 1, S)
+    oh = slot[..., None] == jnp.arange(S)[None, None, :]
+    k_sel = jnp.einsum("nk,nks->ns", k_rel, oh.astype(jnp.float32))
+    valid = jnp.any(oh, axis=1)
+    t_out = jnp.where(valid, t0[:, None] + (k0[:, None] + k_sel) * dt, 0.0)
+    dt_out = jnp.where(valid, dt, 0.0)
+    xyz_out = jnp.clip(
+        rays_o[:, None, :] + t_out[..., None] * rays_d[:, None, :],
+        -cfg.bound, cfg.bound,
+    )
+    xyz_out = jnp.where(valid[..., None], xyz_out, 0.0)
+    return {
+        "t": t_out,
+        "dt": dt_out,
+        "valid": valid,
+        "xyz": xyz_out,
+        "max_count": jnp.max(jnp.sum(occ_l.astype(jnp.int32), axis=1)),
+        # two-level capacity telemetry (adaptive sizing)
+        "n_groups_needed": total,
+        "n_group_max": jnp.max(counts),
     }
 
 

@@ -29,6 +29,8 @@ def adapt_render_config(
     n_rays: int,
     occ_radius: float,
     n_torso: Optional[int] = None,
+    n_groups: Optional[int] = None,
+    n_group_max: Optional[int] = None,
     headroom: float = 1.35,
     fresh: bool = False,
 ):
@@ -82,6 +84,24 @@ def adapt_render_config(
     elif n_max + 1 <= slots - 4:
         slots = max(4, int(-(-(n_max + 1) // 4)) * 4)
 
+    # two-level march capacities (only when enabled and measured)
+    g_mult = rc.march_group_mult
+    g_slots = rc.march_group_slots
+    if rc.march_group and n_groups is not None:
+        used_g = n_groups / max(r_for_mult, 1)
+        want_g = max(0.5, -(-used_g * headroom / 0.25 // 1) * 0.25)
+        if fresh or want_g > g_mult or want_g < g_mult - 0.5:
+            g_mult = want_g
+    if rc.march_group and n_group_max is not None:
+        # n_group_max is the TRUE per-ray need (counted pre-truncation in
+        # march_rays_grouped), so size to it directly (buckets of 2)
+        kg = -(-(march_iters if march_iters is not None
+                 else rc.march_config().n_march_iters) // 4)
+        cur_gs = g_slots if g_slots is not None else kg
+        want_gs = min(kg, max(2, int(-(-(n_group_max + 1) // 2)) * 2))
+        if fresh or want_gs > cur_gs or want_gs < cur_gs - 2:
+            g_slots = want_gs
+
     t_frac = rc.torso_capacity_frac
     if n_torso is not None and rc.torso:
         cur = t_frac if t_frac is not None else frac
@@ -93,10 +113,13 @@ def adapt_render_config(
 
     if (frac != rc.ray_capacity_frac or mult != rc.sample_capacity_mult
             or march_iters != rc.march_iters or slots != rc.sample_slots
-            or t_frac != rc.torso_capacity_frac):
+            or t_frac != rc.torso_capacity_frac
+            or g_mult != rc.march_group_mult
+            or g_slots != rc.march_group_slots):
         return dataclasses.replace(
             rc, ray_capacity_frac=frac, sample_capacity_mult=mult,
             march_iters=march_iters, sample_slots=slots,
             torso_capacity_frac=t_frac,
+            march_group_mult=g_mult, march_group_slots=g_slots,
         )
     return None

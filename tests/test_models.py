@@ -362,3 +362,69 @@ def test_reset_extra_state():
     # torso grid preserved (the reference only clears the head grid,
     # renderer.py:145-155)
     assert float(out.density_grid_torso.mean()) == pytest.approx(0.3)
+
+
+def test_grouped_march_render_matches_dense():
+    """Full renders with two-level grouped marching (march_group=True) match
+    the dense-march renders exactly at ample group capacities (the renderer
+    wiring over ops-level parity, test_ops.py::test_march_grouped_matches_dense)."""
+    import dataclasses
+
+    from radnerf_tpu.models.renderer import compute_occ_bbox, compute_occ_sphere
+    from radnerf_tpu.ops import morton3d_invert, packbits
+    from radnerf_tpu.ops.marching import build_sigma_bytes
+
+    H = 32
+    rng = np.random.default_rng(5)
+    coords = np.asarray(morton3d_invert(jnp.arange(H**3, dtype=jnp.int32)))
+    xyz = 2.0 * coords / (H - 1) - 1.0
+    dens = np.where(
+        np.linalg.norm(xyz - [0.05, 0.0, 0.1], axis=-1) < 0.42, 200.0, 0.0
+    ).astype(np.float32)
+    dens[rng.random(H**3) < 0.01] = 25.0
+    grid = jnp.asarray(dens)[None]
+
+    rc_dense = RenderConfig(torso=True, max_steps=8, dt_gamma=0.0, grid_size=H,
+                            sample_capacity_mult=8, ray_capacity_frac=0.5,
+                            cull_T=1e-6, march_group=False)
+    rc_grouped = dataclasses.replace(rc_dense, march_group=True,
+                                     march_group_mult=16.0)
+
+    state = RendererState.create(rc_dense)
+    state = state.replace(
+        density_grid=grid,
+        density_bitfield=packbits(grid, 5.0),
+        density_grid_torso=jnp.ones((H * H,), jnp.float32) * 0.4,
+        mean_density_torso=jnp.asarray(0.2, jnp.float32),
+        occ_bbox=compute_occ_bbox(rc_dense, grid, 5.0),
+        occ_sphere=compute_occ_sphere(rc_dense, grid, 5.0),
+    ).with_sigma_bytes(build_sigma_bytes(grid, 5.0))
+
+    N = 512
+    rays_o = np.tile(np.array([[0.0, 0.0, -3.3]], np.float32), (N, 1))
+    d = np.concatenate([rng.uniform(-0.3, 0.3, (N, 2)), np.ones((N, 1))], -1)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    params = init_params(jax.random.PRNGKey(0), NET)
+
+    def run(rc):
+        res, _ = render_rays(
+            params, NET, rc, state, jnp.asarray(rays_o),
+            jnp.asarray(d, jnp.float32), jnp.zeros((8, 44, 16)),
+            jnp.zeros((N, 2)), jnp.zeros((1, 6)), jnp.full((1, 1), 0.25),
+            jnp.zeros((), jnp.int32), jnp.full((N, 3), 0.5), training=False,
+        )
+        return res
+
+    dense = run(rc_dense)
+    grouped = run(rc_grouped)
+    np.testing.assert_allclose(
+        np.asarray(dense["image"]), np.asarray(grouped["image"]),
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dense["depth"]), np.asarray(grouped["depth"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    # scene non-trivial: foreground actually rendered over the 0.5 bg
+    assert float(np.abs(np.asarray(dense["image"]) - 0.5).sum()) > 1.0
+    assert int(grouped["n_groups_needed"]) > 0

@@ -517,3 +517,135 @@ def test_march_rays_cascade_matches_reference(dt_gamma):
             np.testing.assert_allclose(got_xyz[n, s], [wx, wy, wz],
                                        rtol=1e-4, atol=2e-5)
     assert n_checked > 50  # the scene actually exercises the cascades
+
+
+@pytest.mark.parametrize("cull_T", [0.0, 1e-6])
+def test_march_grouped_matches_dense(cull_T):
+    """Two-level grouped marching emits EXACTLY the dense marcher's sample
+    set for ample group capacities (ops/marching.py:march_rays_grouped):
+    coarse dilation never misses an occupied cell, the coarse cull drops
+    only suffixes the fine cull drops too, and the per-ray lattice
+    reproduces the dense cumsum order."""
+    from radnerf_tpu.ops.marching import (
+        build_coarse_rows, build_sigma_bytes, march_rays_grouped,
+        pack_sigma_byte_rows,
+    )
+
+    H, max_steps = 32, 8
+    cfg = MarchConfig(bound=1.0, cascade=1, grid_size=H, max_steps=max_steps,
+                      dt_gamma=0.0)
+    rng = np.random.default_rng(3)
+
+    # blobby scene with rough boundary + scattered occupancy (exercises
+    # dilation margins and cull accumulation)
+    coords = np.asarray(morton3d_invert(jnp.arange(H**3, dtype=jnp.int32)))
+    xyz = 2.0 * coords.astype(np.float32) / (H - 1) - 1.0
+    r = np.linalg.norm(xyz - np.array([0.1, 0.0, -0.1], np.float32), axis=-1)
+    dens = np.where(r < 0.45, 250.0, 0.0).astype(np.float32)
+    sparse = rng.random(H**3) < 0.01
+    dens[sparse] = 30.0
+    sigma_bytes = build_sigma_bytes(jnp.asarray(dens), 5.0)
+    sigma_rows = pack_sigma_byte_rows(sigma_bytes)
+    coarse_rows = build_coarse_rows(sigma_bytes, 1, H, 4)
+
+    N = 96
+    o = np.zeros((N, 3), np.float32)
+    o[:, 2] = -3.0
+    o[:, 0] = rng.uniform(-0.9, 0.9, N)
+    o[:, 1] = rng.uniform(-0.9, 0.9, N)
+    d = np.zeros((N, 3), np.float32)
+    d[:, 2] = 1.0
+    d[:, 0] = rng.uniform(-0.15, 0.15, N)
+    d[:, 1] = rng.uniform(-0.15, 0.15, N)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    aabb = jnp.array(
+        [-1.0, -0.5, -1.0, 1.0, 0.5, 1.0]
+    )
+    nears, fars = near_far_from_aabb(
+        jnp.asarray(o), jnp.asarray(d), aabb, 0.05
+    )
+    noises = jnp.asarray(rng.random(N, dtype=np.float32))
+    window = (nears, fars)
+
+    dense = march_rays(
+        jnp.asarray(o), jnp.asarray(d), nears, fars, None, cfg,
+        noises=noises, t_window=window, sigma_rows=sigma_rows, cull_T=cull_T,
+    )
+    K = cfg.n_march_iters
+    Kg = -(-K // 4)
+    grouped = march_rays_grouped(
+        jnp.asarray(o), jnp.asarray(d), nears, fars, cfg,
+        sigma_rows, coarse_rows, window, 4,
+        group_capacity=max(128, -(-N * Kg // 128) * 128),  # ample
+        group_slots=Kg,
+        noises=noises, cull_T=cull_T,
+    )
+
+    np.testing.assert_array_equal(
+        np.asarray(dense["valid"]), np.asarray(grouped["valid"])
+    )
+    np.testing.assert_allclose(
+        np.asarray(dense["t"]), np.asarray(grouped["t"]), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(dense["xyz"]), np.asarray(grouped["xyz"]),
+        rtol=1e-5, atol=1e-6,
+    )
+    assert int(dense["valid"].sum()) > 30  # scene non-trivial
+    # telemetry sane
+    assert int(grouped["n_group_max"]) <= Kg
+    assert int(grouped["n_groups_needed"]) > 0
+
+
+def test_march_grouped_overflow_is_subset():
+    """Group-capacity overflow DROPS work but never fabricates samples:
+    every sample the overflowed grouped marcher emits is also in the
+    ample-capacity (== dense) sample set, and telemetry reports the need."""
+    from radnerf_tpu.ops.marching import (
+        build_coarse_rows, build_sigma_bytes, march_rays_grouped,
+        pack_sigma_byte_rows,
+    )
+
+    H, max_steps = 32, 8
+    cfg = MarchConfig(bound=1.0, cascade=1, grid_size=H, max_steps=max_steps,
+                      dt_gamma=0.0)
+    rng = np.random.default_rng(9)
+    coords = np.asarray(morton3d_invert(jnp.arange(H**3, dtype=jnp.int32)))
+    xyz = 2.0 * coords.astype(np.float32) / (H - 1) - 1.0
+    dens = np.where(np.linalg.norm(xyz, axis=-1) < 0.5, 150.0, 0.0).astype(np.float32)
+    sigma_bytes = build_sigma_bytes(jnp.asarray(dens), 5.0)
+    sigma_rows = pack_sigma_byte_rows(sigma_bytes)
+    coarse_rows = build_coarse_rows(sigma_bytes, 1, H, 4)
+
+    N = 64
+    o = np.zeros((N, 3), np.float32); o[:, 2] = -3.0
+    o[:, 0] = rng.uniform(-0.5, 0.5, N); o[:, 1] = rng.uniform(-0.5, 0.5, N)
+    d = np.zeros((N, 3), np.float32); d[:, 2] = 1.0
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    aabb = jnp.array([-1.0, -0.5, -1.0, 1.0, 0.5, 1.0])
+    nears, fars = near_far_from_aabb(jnp.asarray(o), jnp.asarray(d), aabb, 0.05)
+    K = cfg.n_march_iters
+    Kg = -(-K // 4)
+
+    def run(cap):
+        return march_rays_grouped(
+            jnp.asarray(o), jnp.asarray(d), nears, fars, cfg,
+            sigma_rows, coarse_rows, (nears, fars), 4,
+            group_capacity=cap, group_slots=Kg, cull_T=1e-6,
+        )
+
+    ample = run(max(128, -(-N * Kg // 128) * 128))
+    tiny = run(128)  # deliberately undersized
+    needed = int(ample["n_groups_needed"])
+    assert needed > 128  # the scene actually overflows the tiny buffer
+    assert int(tiny["n_groups_needed"]) == needed  # telemetry = true need
+
+    va, vt = np.asarray(ample["valid"]), np.asarray(tiny["valid"])
+    ta, tt = np.asarray(ample["t"]), np.asarray(tiny["t"])
+    for n in range(N):
+        # overflow may drop a prefix ray's samples entirely or truncate,
+        # but every emitted (slot-compacted) sample must exist in ample's
+        emitted = tt[n][vt[n]]
+        full = ta[n][va[n]]
+        for v in emitted:
+            assert np.isclose(full, v, rtol=0, atol=1e-5).any()
