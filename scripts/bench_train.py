@@ -30,6 +30,11 @@ def main():
     net_cfg, rc, params, state, batch, aud_stream = B.build_scene()
     import dataclasses
 
+    # size capacities from telemetry exactly as bench.py does (the scene's
+    # starting capacities are deliberately generous; training at frac 1.0 /
+    # full-orbit K measures buffer padding, not training)
+    rc = B.size_capacities(net_cfg, rc, params, state, batch, aud_stream[0],
+                           probe_batch=B.build_scene(256, 256)[4])
     rc = dataclasses.replace(rc, torso=False)
     opt = Options(iters=200_000)
     tx = build_optimizer(net_cfg, opt)
