@@ -80,3 +80,59 @@ def pad_to_multiple(a: np.ndarray, multiple: int, axis: int = 0, value=0):
     pad = [(0, 0)] * a.ndim
     pad[axis] = (0, rem)
     return np.pad(a, pad, constant_values=value), n
+
+
+def make_render_frame_dp(mesh: Mesh, net_cfg, rc, axis_name: str = "dp"):
+    """Data-parallel inference: one frame's rays sharded across the mesh.
+
+    TPU-native design (NOT GSPMD over the global render graph): each
+    device renders ITS ray shard with `shard_map`, so the compaction
+    cumsums, capacity buffers, and gathers are all device-local — zero
+    collectives on the hot path (rays are embarrassingly parallel; the
+    reference's closest analogue is the dormant DDP surface,
+    nerf/utils.py:621-623). Static capacities apply per shard: a frac-
+    based ray capacity of the LOCAL ray count, so the per-chip graph is
+    the single-chip graph at N/n rays — per-chip FPS times n is the
+    scaling model (PERFORMANCE.md).
+
+    Returns ``render(params, state, batch, auds) -> (image, depth)`` over
+    a batch whose per-ray arrays are length N (divisible by the mesh
+    size; pad with miss rays via pad_to_multiple). The renderer state is
+    NOT threaded out: frame-to-frame state (audio-code EMA) evolves
+    identically on every device from replicated inputs — thread it on the
+    host with `smooth_audio_code` if smooth_lips is enabled.
+    """
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec
+
+    from ..models import render_rays
+
+    P_ray = PartitionSpec(axis_name)
+    P_rep = PartitionSpec()
+
+    def local_render(params, state, rays_o, rays_d, bg_coords, bg_color,
+                     auds, poses, eye, index):
+        results, _ = render_rays(
+            params, net_cfg, rc, state, rays_o, rays_d, auds,
+            bg_coords, poses, eye, index, bg_color, training=False,
+        )
+        return results["image"], results["depth"]
+
+    smap = jax.shard_map(
+        local_render,
+        mesh=mesh,
+        in_specs=(P_rep, P_rep, P_ray, P_ray, P_ray, P_ray,
+                  P_rep, P_rep, P_rep, P_rep),
+        out_specs=(P_ray, P_ray),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def render(params, state, batch, auds):
+        return smap(
+            params, state, batch["rays_o"], batch["rays_d"],
+            batch["bg_coords"], batch["bg_color"], auds,
+            batch["poses"], batch["eye"], batch["index"],
+        )
+
+    return render

@@ -112,3 +112,79 @@ def test_trainer_data_parallel(tmp_path):
 
     out = tr.train_gui(FakeDataset(), step=2)
     assert np.isfinite(out["loss"])
+
+
+def test_dp_render_frame_matches_single_device():
+    """shard_map DP inference: a frame rendered with rays sharded over the
+    8-device mesh matches the single-device render exactly (per-device
+    local compaction; zero collectives — parallel/mesh.py:
+    make_render_frame_dp)."""
+    import numpy as np
+
+    from radnerf_tpu.models import (
+        NetworkConfig, RenderConfig, RendererState, init_params, render_rays,
+    )
+    from radnerf_tpu.models.renderer import compute_occ_bbox, compute_occ_sphere
+    from radnerf_tpu.ops import morton3d_invert, packbits
+    from radnerf_tpu.ops.marching import build_sigma_bytes
+    from radnerf_tpu.parallel import create_mesh, replicate
+    from radnerf_tpu.parallel.mesh import make_render_frame_dp, shard_batch
+
+    net_cfg = NetworkConfig(torso=True, exp_eye=True)
+    # torso frac 1.0: the torso mask covers every pixel of this scene, so a
+    # fractional torso capacity would drop pixels (differently per layout)
+    rc = RenderConfig(torso=True, exp_eye=True, grid_size=32, max_steps=8,
+                      dt_gamma=0.0, sample_capacity_mult=8,
+                      ray_capacity_frac=0.5, torso_capacity_frac=1.0)
+    params = init_params(jax.random.PRNGKey(0), net_cfg)
+    state = RendererState.create(rc)
+
+    H = 32
+    rng = np.random.default_rng(2)
+    coords = np.asarray(morton3d_invert(jnp.arange(H**3, dtype=jnp.int32)))
+    xyz = 2.0 * coords / (H - 1) - 1.0
+    dens = np.where(np.linalg.norm(xyz, axis=-1) < 0.45, 120.0, 0.0).astype(np.float32)
+    grid = jnp.asarray(dens)[None]
+    state = state.replace(
+        density_grid=grid,
+        density_bitfield=packbits(grid, 5.0),
+        density_grid_torso=jnp.ones((H * H,), jnp.float32) * 0.3,
+        mean_density_torso=jnp.asarray(0.1, jnp.float32),
+        occ_bbox=compute_occ_bbox(rc, grid, 5.0),
+        occ_sphere=compute_occ_sphere(rc, grid, 5.0),
+    ).with_sigma_bytes(build_sigma_bytes(grid, 5.0))
+
+    N = 1024  # divisible by 8
+    rays_o = np.tile(np.array([[0.0, 0.0, -3.3]], np.float32), (N, 1))
+    d = np.concatenate([rng.uniform(-0.25, 0.25, (N, 2)), np.ones((N, 1))], -1)
+    d = (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+    batch = {
+        "rays_o": jnp.asarray(rays_o), "rays_d": jnp.asarray(d),
+        "bg_coords": jnp.zeros((N, 2)), "bg_color": jnp.full((N, 3), 0.5),
+        "poses": jnp.zeros((1, 6)), "eye": jnp.full((1, 1), 0.25),
+        "index": jnp.zeros((), jnp.int32),
+    }
+    auds = jnp.zeros((8, 44, 16))
+
+    # single-device reference
+    ref, _ = render_rays(
+        params, net_cfg, rc, state, batch["rays_o"], batch["rays_d"], auds,
+        batch["bg_coords"], batch["poses"], batch["eye"], batch["index"],
+        batch["bg_color"], training=False,
+    )
+
+    mesh = create_mesh()
+    assert mesh.devices.size == 8
+    params_r = replicate(mesh, params)
+    state_r = replicate(mesh, state)
+    sb = shard_batch(mesh, batch)
+    render = make_render_frame_dp(mesh, net_cfg, rc)
+    img, depth = render(params_r, state_r, sb, auds)
+
+    np.testing.assert_allclose(
+        np.asarray(img), np.asarray(ref["image"]), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(depth), np.asarray(ref["depth"]), rtol=1e-5, atol=1e-5
+    )
+    assert float(np.abs(np.asarray(ref["image"]) - 0.5).sum()) > 1.0
