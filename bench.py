@@ -150,7 +150,7 @@ def size_capacities(net_cfg, rc, params, state, batch, auds,
         r = fn(params, state, b, auds)
         return {k: int(r[k]) for k in
                 ("n_hit", "n_samples_needed", "n_max_count", "n_torso_mask",
-                 "n_groups_needed", "n_group_max")}
+                 "n_groups_needed", "n_group_max", "n_k_span")}
 
     radius = float(state.occ_sphere[3])
     probe = probe_batch if probe_batch is not None else batch
@@ -162,7 +162,8 @@ def size_capacities(net_cfg, rc, params, state, batch, auds,
     # asserts nothing is dropped at the sized capacities
     rc2 = adapt_render_config(
         rc, t["n_hit"], t["n_samples_needed"], t["n_max_count"], n_probe,
-        radius, n_torso=t["n_torso_mask"], headroom=1.1, fresh=True,
+        radius, n_torso=t["n_torso_mask"], n_k_span=t["n_k_span"],
+        headroom=1.1, fresh=True,
     ) or rc
 
     # second fresh pass at FULL resolution: the probe ran the dense
@@ -175,6 +176,7 @@ def size_capacities(net_cfg, rc, params, state, batch, auds,
         radius, n_torso=t2["n_torso_mask"],
         n_groups=t2["n_groups_needed"] or None,
         n_group_max=t2["n_group_max"] or None,
+        n_k_span=t2["n_k_span"],
         headroom=1.1, fresh=True,
     ) or rc2
 
@@ -197,6 +199,7 @@ def size_capacities(net_cfg, rc, params, state, batch, auds,
             n_rays, radius, n_torso=t2["n_torso_mask"],
             n_groups=t2["n_groups_needed"] or None,
             n_group_max=t2["n_group_max"] or None,
+            n_k_span=t2["n_k_span"],
         )
         if grown is None:
             break

@@ -507,6 +507,13 @@ def render_rays(
     # capacity telemetry (the reference's step_counter/mean_count stats,
     # renderer.py:126-129): consumed by the Trainer's adaptive resizing
     results["n_hit"] = jnp.sum(hit.astype(jnp.int32))
+    # max marched-window span in orbit steps: the EXACT march_iters need
+    # (every orbit point beyond t_hi is masked, so K only has to cover the
+    # widest per-ray bbox-and-sphere window — for a frontal camera the
+    # bbox depth binds this far below the sphere-diameter estimate)
+    results["n_k_span"] = jnp.max(
+        jnp.where(hit, jnp.ceil((t_hi - t_lo) / mcfg.dt_min), 0.0)
+    ).astype(jnp.int32)
 
     if cfg.ray_capacity_frac >= 1.0:
         comp = run_head(rays_o, rays_d, nears, fars, t_lo, t_hi, noises)

@@ -31,6 +31,7 @@ def adapt_render_config(
     n_torso: Optional[int] = None,
     n_groups: Optional[int] = None,
     n_group_max: Optional[int] = None,
+    n_k_span: Optional[int] = None,
     headroom: float = 1.35,
     fresh: bool = False,
 ):
@@ -69,7 +70,15 @@ def adapt_render_config(
 
     march_iters = rc.march_iters
     dt_min = rc.march_config().dt_min
-    want_k = int(-(-(2.0 * occ_radius / dt_min + 2) // 8)) * 8
+    if n_k_span is not None and n_k_span > 0:
+        # EXACT need: the widest per-ray marched window, measured
+        # (results["n_k_span"]). For a frontal camera the occupied-bbox
+        # depth binds this far below the sphere-diameter estimate.
+        want_k = int(-(-(n_k_span + 2) // 8)) * 8
+    else:
+        # no telemetry: conservative bound from the occupied-sphere
+        # diameter (a window chord can never exceed it)
+        want_k = int(-(-(2.0 * occ_radius / dt_min + 2) // 8)) * 8
     full_k = dataclasses.replace(rc, march_iters=None).march_config().n_march_iters
     want_k = min(want_k, full_k)
     if (fresh or march_iters is None or want_k > march_iters

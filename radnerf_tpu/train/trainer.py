@@ -268,7 +268,7 @@ class Trainer:
                     )
                 stats = jnp.stack(
                     [results["n_hit"], results["n_samples_needed"],
-                     results["n_max_count"]]
+                     results["n_max_count"], results["n_k_span"]]
                 )
                 return loss, (stats, state2)
 
@@ -313,9 +313,11 @@ class Trainer:
                 )
             return
         n_max = int(stats[2]) if stats.shape[0] > 2 else rc.max_steps
+        n_k_span = int(stats[3]) if stats.shape[0] > 3 else None
         radius = float(self.state.occ_sphere[3])
 
-        rc2 = adapt_render_config(rc, n_hit, n_needed, n_max, n_rays, radius)
+        rc2 = adapt_render_config(rc, n_hit, n_needed, n_max, n_rays, radius,
+                                  n_k_span=n_k_span)
         if rc2 is not None:
             self.render_cfg = rc2
             self._train_step_fn.clear()
