@@ -442,19 +442,30 @@ def render_rays(
     # clip marching to the occupied-cell bounding box (pure math; bits
     # outside it are guaranteed zero, so the skipped orbit points are
     # exactly the reference's empty-space skips)
-    bb = state.occ_bbox
-    tb0 = (bb[:3] - rays_o) / rays_d
-    tb1 = (bb[3:] - rays_o) / rays_d
-    t_lo = jnp.maximum(jnp.max(jnp.minimum(tb0, tb1), axis=-1), nears)
-    t_hi = jnp.minimum(jnp.min(jnp.maximum(tb0, tb1), axis=-1), fars)
-    # intersect with the occupied bounding sphere (tighter for blob shapes;
-    # caps the marched span at the sphere chord <= 2*radius)
-    oc = rays_o - state.occ_sphere[:3]
-    b_half = jnp.sum(oc * rays_d, axis=-1)
-    disc = b_half * b_half - (jnp.sum(oc * oc, axis=-1) - state.occ_sphere[3] ** 2)
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t_lo = jnp.maximum(t_lo, -b_half - sq)
-    t_hi = jnp.minimum(t_hi, jnp.where(disc > 0, -b_half + sq, -jnp.inf))
+    def march_window(o, d, nr, fr):
+        """Marched interval = occupied bbox AND bounding sphere (pure ray
+        math — cheap enough to recompute on compacted rays instead of
+        gathering the scalars; the 12-column concat+gather cost ~3 ms)."""
+        bb = state.occ_bbox
+        tb0 = (bb[:3] - o) / d
+        tb1 = (bb[3:] - o) / d
+        lo = jnp.maximum(jnp.max(jnp.minimum(tb0, tb1), axis=-1), nr)
+        hi = jnp.minimum(jnp.min(jnp.maximum(tb0, tb1), axis=-1), fr)
+        oc = o - state.occ_sphere[:3]
+        b_half = jnp.sum(oc * d, axis=-1)
+        disc = b_half * b_half - (
+            jnp.sum(oc * oc, axis=-1) - state.occ_sphere[3] ** 2
+        )
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        lo = jnp.maximum(lo, -b_half - sq)
+        hi = jnp.minimum(hi, jnp.where(disc > 0, -b_half + sq, -jnp.inf))
+        return lo, hi
+
+    # clip marching to the occupied-cell bounding box (pure math; bits
+    # outside it are guaranteed zero, so the skipped orbit points are
+    # exactly the reference's empty-space skips), intersected with the
+    # occupied bounding sphere (caps the span at the chord <= 2*radius)
+    t_lo, t_hi = march_window(rays_o, rays_d, nears, fars)
     hit = t_lo < t_hi
 
     def run_head(o, d, nr, fr, lo, hi, nz):
@@ -535,32 +546,23 @@ def render_rays(
         ray_idx = jnp.zeros((R,), jnp.int32).at[slot].set(
             jnp.arange(N, dtype=jnp.int32), mode="drop"
         )
-        # ONE 12-column concat gather: re-measured under the current
-        # layouts (PERFORMANCE.md) the fused concat+gather runs 3.1 ms vs
-        # 5.4 ms for three narrow gathers — the earlier "48B rows gather
-        # 6x slower" result predates the per-level-table layouts
-        packed_rays = jnp.concatenate(
-            [
-                jnp.stack(
-                    [
-                        nears, fars, t_lo, t_hi,
-                        noises if noises is not None else jnp.zeros_like(nears),
-                        hit.astype(jnp.float32),
-                    ],
-                    axis=-1,
-                ),
-                rays_o, rays_d,
-            ],
-            axis=-1,
-        )[ray_idx]  # [R, 12]
-        scalars = packed_rays[:, :6]
-        o_c = packed_rays[:, 6:9]
-        d_c = packed_rays[:, 9:12]
-        c_hit = scalars[:, 5] > 0
-        comp_c = run_head(
-            o_c, d_c, scalars[:, 0], scalars[:, 1], scalars[:, 2],
-            scalars[:, 3], scalars[:, 4] if noises is not None else None,
-        )
+        # gather ONLY the ray geometry (plus the per-ray noise when
+        # training) and RECOMPUTE nears/window on the compacted rays —
+        # the window is pure ray math, cheaper than the 12-column
+        # concat+gather of precomputed scalars it replaces (~3 ms)
+        cols = [rays_o, rays_d]
+        if noises is not None:
+            cols.append(noises[:, None])
+        packed_rays = jnp.concatenate(cols, axis=-1)[ray_idx]
+        o_c = packed_rays[:, :3]
+        d_c = packed_rays[:, 3:6]
+        nz_c = packed_rays[:, 6] if noises is not None else None
+        nr_c, fr_c = near_far_from_aabb(o_c, d_c, aabb, cfg.min_near)
+        nr_c = jax.lax.stop_gradient(nr_c)
+        fr_c = jax.lax.stop_gradient(fr_c)
+        lo_c, hi_c = march_window(o_c, d_c, nr_c, fr_c)
+        c_hit = lo_c < hi_c
+        comp_c = run_head(o_c, d_c, nr_c, fr_c, lo_c, hi_c, nz_c)
         out_c = jnp.concatenate(
             [
                 comp_c["image"], comp_c["depth"][:, None],
