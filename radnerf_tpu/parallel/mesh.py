@@ -95,12 +95,12 @@ def make_render_frame_dp(mesh: Mesh, net_cfg, rc, axis_name: str = "dp"):
     the single-chip graph at N/n rays — per-chip FPS times n is the
     scaling model (PERFORMANCE.md).
 
-    Returns ``render(params, state, batch, auds) -> (image, depth)`` over
-    a batch whose per-ray arrays are length N (divisible by the mesh
-    size; pad with miss rays via pad_to_multiple). The renderer state is
-    NOT threaded out: frame-to-frame state (audio-code EMA) evolves
-    identically on every device from replicated inputs — thread it on the
-    host with `smooth_audio_code` if smooth_lips is enabled.
+    Returns ``render(params, state, batch, auds) -> (image, depth,
+    state2)`` over a batch whose per-ray arrays are length N (divisible
+    by the mesh size; pad with miss rays via pad_to_multiple). The
+    returned state is the frame-to-frame renderer state (audio-code EMA):
+    it evolves identically on every device from replicated inputs, so it
+    is emitted replicated.
     """
     import jax.numpy as jnp
     from jax.sharding import PartitionSpec
@@ -112,18 +112,18 @@ def make_render_frame_dp(mesh: Mesh, net_cfg, rc, axis_name: str = "dp"):
 
     def local_render(params, state, rays_o, rays_d, bg_coords, bg_color,
                      auds, poses, eye, index):
-        results, _ = render_rays(
+        results, state2 = render_rays(
             params, net_cfg, rc, state, rays_o, rays_d, auds,
             bg_coords, poses, eye, index, bg_color, training=False,
         )
-        return results["image"], results["depth"]
+        return results["image"], results["depth"], state2
 
     smap = jax.shard_map(
         local_render,
         mesh=mesh,
         in_specs=(P_rep, P_rep, P_ray, P_ray, P_ray, P_ray,
                   P_rep, P_rep, P_rep, P_rep),
-        out_specs=(P_ray, P_ray),
+        out_specs=(P_ray, P_ray, P_rep),
         check_vma=False,
     )
 

@@ -585,14 +585,35 @@ class Trainer:
 
     # ------------------------------------------------------------- test API
     def test_step(self, batch, bg_color=None):
-        """Render one frame (utils.py:841-868)."""
+        """Render one frame (utils.py:841-868). With --data_parallel and a
+        multi-chip mesh, the frame's rays shard across chips via the
+        zero-collective shard_map renderer (parallel/mesh.py)."""
         if self.opt.exp_eye and self.opt.fix_eye >= 0:
             batch["eye"] = jnp.full((1, 1), self.opt.fix_eye, jnp.float32)
         if bg_color is not None:
             batch["bg_color"] = jnp.asarray(bg_color)
+        H, W = batch["H"], batch["W"]
+        n_dev = self.mesh.devices.size if self.mesh is not None else 1
+        if self.mesh is not None and batch["rays_o"].shape[0] % n_dev == 0:
+            from ..parallel import replicate
+            from ..parallel.mesh import make_render_frame_dp, shard_batch
+
+            if "render_dp" not in self._render_fn:
+                self._render_fn["render_dp"] = make_render_frame_dp(
+                    self.mesh, self.net_cfg, self.render_cfg
+                )
+            ep = self._eval_params()
+            cached = getattr(self, "_dp_param_cache", None)
+            if cached is None or cached[0] is not ep:
+                self._dp_param_cache = (ep, replicate(self.mesh, ep))
+            img, depth, self.state = self._render_fn["render_dp"](
+                self._dp_param_cache[1], replicate(self.mesh, self.state),
+                shard_batch(self.mesh, batch), batch["auds"],
+            )
+            return (np.asarray(img).reshape(H, W, 3),
+                    np.asarray(depth).reshape(H, W))
         render = self._get_render_fn()
         results, self.state = render(self._eval_params(), self.state, batch)
-        H, W = batch["H"], batch["W"]
         pred = np.asarray(results["image"]).reshape(H, W, 3)
         depth = np.asarray(results["depth"]).reshape(H, W)
         return pred, depth

@@ -113,6 +113,14 @@ def test_trainer_data_parallel(tmp_path):
     out = tr.train_gui(FakeDataset(), step=2)
     assert np.isfinite(out["loss"])
 
+    # DP inference wiring: test_step shards the frame's rays over the mesh
+    # (trainer.py test_step -> parallel/mesh.py make_render_frame_dp)
+    fb = tr._to_device(FakeDataset().collate(0))
+    fb["H"], fb["W"] = 16, 32  # 512 rays as a 16x32 frame
+    pred, depth = tr.test_step(fb)
+    assert pred.shape == (16, 32, 3) and np.isfinite(pred).all()
+    assert "render_dp" in tr._render_fn  # the sharded path actually ran
+
 
 def test_dp_render_frame_matches_single_device():
     """shard_map DP inference: a frame rendered with rays sharded over the
@@ -179,7 +187,7 @@ def test_dp_render_frame_matches_single_device():
     state_r = replicate(mesh, state)
     sb = shard_batch(mesh, batch)
     render = make_render_frame_dp(mesh, net_cfg, rc)
-    img, depth = render(params_r, state_r, sb, auds)
+    img, depth, _ = render(params_r, state_r, sb, auds)
 
     np.testing.assert_allclose(
         np.asarray(img), np.asarray(ref["image"]), rtol=1e-5, atol=1e-5
