@@ -428,3 +428,28 @@ def test_grouped_march_render_matches_dense():
     # scene non-trivial: foreground actually rendered over the 0.5 bg
     assert float(np.abs(np.asarray(dense["image"]) - 0.5).sum()) > 1.0
     assert int(grouped["n_groups_needed"]) > 0
+
+
+def test_sigma_bytes_invariant_no_bare_replace():
+    """Source-level guard for the RendererState derived-field invariant:
+    sigma_bytes must never be set with a bare .replace() — with_sigma_bytes
+    keeps sigma_rows/coarse_rows in sync (a stale packed view silently
+    renders from outdated occupancy)."""
+    import pathlib
+    import re
+
+    root = pathlib.Path(__file__).resolve().parents[1]
+    offenders = []
+    for p in list((root / "radnerf_tpu").rglob("*.py")) + [
+        root / "bench.py", root / "__graft_entry__.py"
+    ]:
+        src = p.read_text()
+        for m in re.finditer(r"replace\([^)]*sigma_bytes\s*=", src, re.S):
+            span = src[max(0, m.start() - 500): m.start()]
+            if "def with_sigma_bytes" in span or "def create" in span:
+                continue  # the invariant helper / zero-init constructor
+            offenders.append(f"{p.relative_to(root)}: ...{m.group(0)[:60]}")
+    assert not offenders, (
+        "bare .replace(sigma_bytes=...) found (use with_sigma_bytes): "
+        + "; ".join(offenders)
+    )
