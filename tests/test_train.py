@@ -663,3 +663,66 @@ def test_eval_writes_validation_images(data_dir, tmp_path):
     outs = os.listdir(tmp_path / "ws_e" / "validation")
     assert any(o.endswith("_rgb.png") for o in outs)
     assert any(o.endswith("_depth.png") for o in outs)
+
+
+def test_adapt_render_config_k_span_rule():
+    """march_iters follows the MEASURED window span telemetry: grows
+    immediately when the span outgrows the orbit (exactness protection)
+    and shrinks on slack; falls back to the sphere-diameter bound when no
+    telemetry is given (train/capacity.py)."""
+    import dataclasses
+
+    from radnerf_tpu.models import RenderConfig
+    from radnerf_tpu.train.capacity import adapt_render_config
+
+    rc = RenderConfig(grid_size=128, max_steps=16, dt_gamma=0.0,
+                      ray_capacity_frac=0.5, sample_capacity_mult=2.0,
+                      march_iters=32, sample_slots=8)
+
+    # span telemetry grows past the current orbit -> K grows (bucket 8)
+    rc2 = adapt_render_config(rc, 1000, 2000, 4, 4096, 0.7, n_k_span=45)
+    assert rc2 is not None and rc2.march_iters == 48
+
+    # big slack -> shrinks
+    rc3 = adapt_render_config(rc, 1000, 2000, 4, 4096, 0.7, n_k_span=14)
+    assert rc3 is not None and rc3.march_iters == 16
+
+    # small change within a bucket -> no resize from the span alone
+    rc4 = adapt_render_config(rc, 1000, 2000, 4, 4096, 0.7, n_k_span=29)
+    assert rc4 is None or rc4.march_iters == 32
+
+    # no telemetry -> sphere-diameter bound (2*r/dt + 2, bucket 8)
+    dt = rc.march_config().dt_min
+    rc5 = adapt_render_config(rc, 1000, 2000, 4, 4096, 1.0)
+    want = min(-(-int(2.0 / dt + 2) // 8) * 8 + 8,  # loose upper sanity
+               dataclasses.replace(rc, march_iters=None).march_config().n_march_iters)
+    assert rc5 is not None and rc5.march_iters <= want
+
+
+def test_adapt_render_config_group_rules():
+    """Two-level-march capacities size from their telemetry only when the
+    feature is enabled; slots are capped at ceil(K/4)."""
+    from radnerf_tpu.models import RenderConfig
+    from radnerf_tpu.train.capacity import adapt_render_config
+
+    rc = RenderConfig(grid_size=128, max_steps=16, dt_gamma=0.0,
+                      ray_capacity_frac=0.5, sample_capacity_mult=2.0,
+                      march_iters=32, sample_slots=8,
+                      march_group=True, march_group_mult=2.0)
+    # needed groups ~3.2/compacted-ray -> mult grows to cover with headroom
+    R = RenderConfig.ray_capacity(4096, 0.5)
+    rc2 = adapt_render_config(rc, 1000, 2000, 4, 4096, 0.7,
+                              n_groups=int(R * 3.2), n_group_max=9,
+                              n_k_span=30,  # pins march_iters at 32
+                              fresh=True)
+    assert rc2 is not None
+    assert rc2.march_iters == 32
+    assert rc2.march_group_mult >= 3.25
+    assert rc2.march_group_slots == 8  # capped at ceil(K/4)
+
+    # disabled feature ignores group telemetry
+    rc_off = RenderConfig(march_iters=32, march_group=False)
+    rc3 = adapt_render_config(rc_off, 1000, 2000, 4, 4096, 0.7,
+                              n_groups=99999, n_group_max=9)
+    assert rc3 is None or (rc3.march_group_mult == rc_off.march_group_mult
+                           and rc3.march_group_slots is None)
