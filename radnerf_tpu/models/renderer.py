@@ -177,7 +177,13 @@ class RendererState:
     MARCH_GROUP = 4  # fine steps per coarse supercell group
 
     def with_sigma_bytes(self, sigma_bytes: jax.Array) -> "RendererState":
-        """Set the byte field AND its packed derived views (the invariant)."""
+        """Set the byte field AND its packed derived views (the invariant).
+
+        coarse_rows is built unconditionally even though grouped marching
+        defaults off: the build is tiny (32^3 per cascade, ~32 KB state)
+        and a conditional derived field would make the pytree STRUCTURE
+        depend on a config flag — breaking checkpoint/jit-cache
+        compatibility between configs for a sub-ms saving."""
         cas, ncells = self.density_grid.shape
         H = round(ncells ** (1.0 / 3.0))
         return self.replace(

@@ -326,8 +326,16 @@ def grid_encode01_packed(
             # per row selects the stored value bit-for-bit.
             oh = (key.astype(jnp.int32)[..., None]
                   == jnp.arange(T, dtype=jnp.int32))
+            # f32 tables need HIGHEST precision: the default TPU matmul
+            # precision would silently truncate them to bf16 inside the
+            # einsum. bf16 tables are already exact at default precision
+            # (bf16 x 1.0 with f32 accumulation) and HIGHEST would slow
+            # them with multi-pass emulation.
+            prec = (jax.lax.Precision.HIGHEST
+                    if packed[level].dtype == jnp.float32
+                    else jax.lax.Precision.DEFAULT)
             rows = jnp.einsum("...t,tw->...w", oh.astype(packed[level].dtype),
-                              packed[level])
+                              packed[level], precision=prec)
         else:
             rows = jnp.take(packed[level], key.astype(jnp.int32), axis=0)
         rows = rows.astype(jnp.float32).reshape(*rows.shape[:-1], n_corners, C)

@@ -81,8 +81,12 @@ def adapt_render_config(
         want_k = int(-(-(2.0 * occ_radius / dt_min + 2) // 8)) * 8
     full_k = dataclasses.replace(rc, march_iters=None).march_config().n_march_iters
     want_k = min(want_k, full_k)
+    # grow IMMEDIATELY (an orbit shorter than the span silently truncates
+    # marched windows); shrink only past a WIDE band — per-pose span
+    # variation would otherwise churn grow/shrink recompiles against the
+    # adaptive-recompile cap
     if (fresh or march_iters is None or want_k > march_iters
-            or want_k < march_iters - 8):
+            or want_k < march_iters - 16):
         march_iters = want_k
 
     slots = rc.sample_slots if rc.sample_slots is not None else rc.max_steps
@@ -104,8 +108,11 @@ def adapt_render_config(
     if rc.march_group and n_group_max is not None:
         # n_group_max is the TRUE per-ray need (counted pre-truncation in
         # march_rays_grouped), so size to it directly (buckets of 2)
+        from ..models.renderer import RendererState
+
         kg = -(-(march_iters if march_iters is not None
-                 else rc.march_config().n_march_iters) // 4)
+                 else rc.march_config().n_march_iters)
+               // RendererState.MARCH_GROUP)
         cur_gs = g_slots if g_slots is not None else kg
         want_gs = min(kg, max(2, int(-(-(n_group_max + 1) // 2)) * 2))
         if fresh or want_gs > cur_gs or want_gs < cur_gs - 2:

@@ -302,14 +302,20 @@ class Trainer:
             R_now = ray_capacity(n_rays, rc.ray_capacity_frac)
             from ..models.renderer import RenderConfig
             S_now = RenderConfig.sample_capacity(R_now, rc.sample_capacity_mult)
-            if n_hit > R_now or n_needed > S_now:
+            # span truncation is invisible in n_hit/n_needed (a too-short
+            # orbit also SHRINKS the sample count) — check it explicitly
+            K_now = (rc.march_iters if rc.march_iters is not None
+                     else rc.march_config().n_march_iters)
+            span = int(stats[3]) if stats.shape[0] > 3 else 0
+            if n_hit > R_now or n_needed > S_now or span > K_now:
                 self.log(
                     f"[WARN] adaptive-capacity cap ({self._adapt_cap} recompiles) "
                     f"reached while capacities are undersized: hits {n_hit} vs "
                     f"ray capacity {R_now}, samples {n_needed} vs capacity "
-                    f"{S_now} — rays/samples beyond capacity are being DROPPED. "
-                    f"Raise --ray_capacity_frac/--sample_capacity_mult or the "
-                    f"cap (Trainer._adapt_cap)."
+                    f"{S_now}, window span {span} vs orbit {K_now} — work "
+                    f"beyond capacity is being DROPPED. Raise "
+                    f"--ray_capacity_frac/--sample_capacity_mult/--march_iters "
+                    f"or the cap (Trainer._adapt_cap)."
                 )
             return
         n_max = int(stats[2]) if stats.shape[0] > 2 else rc.max_steps
@@ -594,7 +600,11 @@ class Trainer:
             batch["bg_color"] = jnp.asarray(bg_color)
         H, W = batch["H"], batch["W"]
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
-        if self.mesh is not None and batch["rays_o"].shape[0] % n_dev == 0:
+        # the sharded path needs a concrete audio window (shard_map specs
+        # cannot carry None) — audio-less datasets fall through to the
+        # single-device render, which tolerates a missing key
+        if (self.mesh is not None and batch.get("auds") is not None
+                and batch["rays_o"].shape[0] % n_dev == 0):
             from ..parallel import replicate
             from ..parallel.mesh import make_render_frame_dp, shard_batch
 

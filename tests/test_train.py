@@ -683,12 +683,13 @@ def test_adapt_render_config_k_span_rule():
     rc2 = adapt_render_config(rc, 1000, 2000, 4, 4096, 0.7, n_k_span=45)
     assert rc2 is not None and rc2.march_iters == 48
 
-    # big slack -> shrinks
-    rc3 = adapt_render_config(rc, 1000, 2000, 4, 4096, 0.7, n_k_span=14)
-    assert rc3 is not None and rc3.march_iters == 16
+    # big slack -> shrinks (band is 16 wide: per-pose span variation must
+    # not churn grow/shrink recompiles)
+    rc3 = adapt_render_config(rc, 1000, 2000, 4, 4096, 0.7, n_k_span=5)
+    assert rc3 is not None and rc3.march_iters == 8
 
-    # small change within a bucket -> no resize from the span alone
-    rc4 = adapt_render_config(rc, 1000, 2000, 4, 4096, 0.7, n_k_span=29)
+    # moderate slack stays within the hysteresis band -> no resize
+    rc4 = adapt_render_config(rc, 1000, 2000, 4, 4096, 0.7, n_k_span=20)
     assert rc4 is None or rc4.march_iters == 32
 
     # no telemetry -> sphere-diameter bound (2*r/dt + 2, bucket 8)
