@@ -202,7 +202,12 @@ def size_capacities(net_cfg, rc, params, state, batch, auds,
             n_k_span=t2["n_k_span"],
         )
         if grown is None:
-            break
+            # the ok-check above already failed, so a None here means the
+            # hysteresis 'want' saturated at the current (post-clip) capacity
+            # while work is still dropped — never accept that silently
+            raise AssertionError(
+                f"capacity sizing stalled while still dropping work: {t2}"
+            )
         rc2 = grown
     else:
         raise AssertionError(f"sized capacities still drop work: {t2}")

@@ -126,8 +126,10 @@ def main():
 
             if not opt.gui:
                 metrics.append(LMDMeter(backend="fan"))
-        except ImportError:
-            pass
+        except Exception as e:
+            # face_alignment absent, or its model files unavailable — the
+            # metric is optional (reference gates it the same way).
+            print(f"[WARN] LMD metric unavailable: {type(e).__name__}: {e}")
         trainer = Trainer("ngp", opt, metrics=metrics, workspace=opt.workspace,
                           use_checkpoint=opt.ckpt)
         split = "train" if opt.test_train else "test"

@@ -123,21 +123,40 @@ class StreamingASR:
         self._decode_fn = decode_fn
         self.exit_event = Event()
 
+        self.audio_instance = None
+        if self.mode == "live" or self.play:
+            # live mic / playback need an audio device (gated import)
+            import pyaudio
+
+            self.audio_instance = pyaudio.PyAudio()
         if self.mode == "file":
             self.file_stream = load_wav(opt.asr_wav, self.sample_rate)
         else:
             # live mic: background reader thread feeding a queue (asr.py:15-23)
-            import pyaudio  # gated: live mode needs an audio device
+            import pyaudio
 
-            self.audio_instance = pyaudio.PyAudio()
             self.input_stream = self.audio_instance.open(
                 format=pyaudio.paInt16, channels=1, rate=self.sample_rate,
                 input=True, frames_per_buffer=self.chunk,
             )
             self.queue = Queue()
             self.reader = Thread(target=self._read_frames)
+        if self.play:
+            # echo the consumed audio through an output stream fed by a
+            # player thread (asr.py:77-85, 201). The reference writes the
+            # float32 frame bytes into a paInt16 stream; we convert to
+            # int16 so playback is actually audible.
+            import pyaudio
+
+            self.output_stream = self.audio_instance.open(
+                format=pyaudio.paInt16, channels=1, rate=self.sample_rate,
+                input=False, output=True, frames_per_buffer=self.chunk,
+            )
+            self.output_queue = Queue()
+            self.player = Thread(target=self._play_frames)
         self.idx = 0
         self.listening = False
+        self.playing = False
 
         if self._logits_fn is None:
             self._logits_fn = make_wav2vec_logits_fn(opt.asr_model)
@@ -173,10 +192,21 @@ class StreamingASR:
             frame = np.frombuffer(frame, np.int16).astype(np.float32) / 32767
             self.queue.put(frame)
 
+    def _play_frames(self):
+        while True:
+            frame = self.output_queue.get()
+            if self.exit_event.is_set():
+                return
+            pcm = np.clip(frame * 32767.0, -32768, 32767).astype(np.int16)
+            self.output_stream.write(pcm.tobytes())
+
     def listen(self):
         if self.mode == "live" and not self.listening:
             self.reader.start()
             self.listening = True
+        if self.play and not self.playing:
+            self.player.start()
+            self.playing = True
 
     def stop(self):
         self.exit_event.set()
@@ -185,6 +215,13 @@ class StreamingASR:
             self.input_stream.close()
             self.reader.join()
             self.listening = False
+        if self.play and self.playing:
+            # unblock the player's queue.get so join() returns, THEN close
+            self.output_queue.put(np.zeros(self.chunk, np.float32))
+            self.player.join()
+            self.output_stream.stop_stream()
+            self.output_stream.close()
+            self.playing = False
 
     def __enter__(self):
         return self
@@ -233,6 +270,8 @@ class StreamingASR:
             self.terminated = True
         else:
             self.frames.append(frame)
+            if self.play:
+                self.output_queue.put(frame)  # echo to playback (asr.py:201)
             need = self.stride_left_size + self.context_size + self.stride_right_size
             if len(self.frames) < need:
                 return
@@ -279,6 +318,8 @@ class StreamingASR:
     def clear_queue(self):
         if self.mode == "live":
             self.queue.queue.clear()
+        if self.play:
+            self.output_queue.queue.clear()
 
     def warm_up(self):
         self.listen()

@@ -117,6 +117,26 @@ class InteractiveApp:
         self.mode = "image"  # or 'depth'
         self._stop = threading.Event()
         self.fps = 0.0
+        # progressive supersampling when the view is static (gui.py:172-225):
+        # re-render with a perturb seed and average up to opt.max_spp frames
+        self.downscale = 1.0
+        self.max_spp = getattr(opt, "max_spp", 1)
+        self.spp = 1
+        self.need_update = True
+        self.render_buffer = None
+
+    # -- camera controls (invalidate the accumulation buffer) ---------------
+    def orbit(self, dx: float, dy: float):
+        self.cam.orbit(dx, dy)
+        self.need_update = True
+
+    def scale(self, delta: float):
+        self.cam.scale(delta)
+        self.need_update = True
+
+    def pan(self, dx: float, dy: float, dz: float = 0.0):
+        self.cam.pan(dx, dy, dz)
+        self.need_update = True
 
     # -- one tick of the reference render loop (gui.py:553-565) ------------
     def step(self) -> np.ndarray:
@@ -152,13 +172,31 @@ class InteractiveApp:
                 if self.audio_features is not None else None
             )
 
+        # playing/training always produce a fresh frame; a static view keeps
+        # accumulating perturbed renders up to max_spp (gui.py:160-218)
+        if self.training or self.playing:
+            self.need_update = True
+        if not (self.need_update or self.spp < self.max_spp):
+            return np.clip(np.asarray(self.render_buffer), 0.0, 1.0)
+
         out = self.trainer.test_gui(
             self.cam.pose, self.cam.intrinsics, self.W, self.H,
             auds=auds, eye=self.eye_area if self.eye_area is not None else 0.25,
             index=self.ind_index, bg_color=self.bg_color,
+            spp=1 if self.need_update else self.spp,
+            downscale=self.downscale,
         )
         img = out["depth"][..., None].repeat(3, -1) if self.mode == "depth" else out["image"]
-        return np.clip(np.asarray(img), 0.0, 1.0)
+        img = np.asarray(img, np.float32)
+        if self.need_update:
+            self.render_buffer = img
+            self.spp = 1
+            self.need_update = False
+        else:
+            self.render_buffer = (
+                self.render_buffer * self.spp + img) / (self.spp + 1)
+            self.spp += 1
+        return np.clip(np.asarray(self.render_buffer), 0.0, 1.0)
 
     # -- drivers ------------------------------------------------------------
     def run(self, max_frames: Optional[int] = None, save_dir: Optional[str] = None):

@@ -29,6 +29,11 @@ class Options:
     num_rays: int = 4096 * 16
     max_steps: int = 16
     update_extra_interval: int = 16
+    # accepted for reference-CLI parity only: the reference uses this to
+    # chunk rays in its non-cuda_ray staged renderer (renderer.py:504-528),
+    # a path its own main.py:120 makes unreachable (cuda_ray forced True).
+    # The TPU renderer has no staged fallback either — the flag is a no-op
+    # here exactly as it is in every reference recipe.
     max_ray_batch: int = 4096
 
     # precision / losses

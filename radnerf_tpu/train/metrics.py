@@ -223,16 +223,28 @@ class LMDMeter:
     ``face_alignment`` (backend='fan') or ``dlib`` package; unavailable in a
     hermetic environment -> raises ImportError at construction."""
 
-    def __init__(self, backend: str = "fan", region: str = "mouth"):
+    def __init__(self, backend: str = "fan", region: str = "mouth",
+                 predictor=None):
         self.backend = backend
         self.region = region
-        if backend == "dlib":
+        if predictor is not None:
+            # Injected predictor (tests / alternative landmark models): any
+            # object with get_landmarks(uint8 image) -> [68, 2] array(s).
+            self.predictor = predictor
+        elif backend == "dlib":
             import dlib  # noqa: F401  (gated)
 
             raise ImportError("dlib backend requires a local predictor .dat file")
-        import face_alignment  # noqa: F401  (gated)
+        else:
+            import face_alignment  # noqa: F401  (gated)
 
-        self.predictor = face_alignment.FaceAlignment()
+            # Reference passes LandmarksType._2D + flip_input=False
+            # (nerf/utils.py:495); the enum member was renamed TWO_D in
+            # face_alignment >= 1.4.
+            lm_type = getattr(face_alignment.LandmarksType, "TWO_D",
+                              getattr(face_alignment.LandmarksType, "_2D", None))
+            self.predictor = face_alignment.FaceAlignment(
+                lm_type, flip_input=False)
         self.clear()
 
     def get_landmarks(self, img: np.ndarray) -> np.ndarray:

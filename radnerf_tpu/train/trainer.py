@@ -256,11 +256,23 @@ class Trainer:
                     batch["index"], batch["bg_color"],
                     noises=noises, training=True,
                 )
+                # color_space='linear': train against linearized GT
+                # (reference nerf/utils.py:736-737 — predictions then live in
+                # linear space and are srgb-encoded only at save time)
+                gt_images = batch.get("images")
+                gt_torso = batch.get("bg_torso_color")
+                if opt.color_space == "linear":
+                    from ..utils.color import srgb_to_linear
+
+                    if opt.torso:
+                        gt_torso = srgb_to_linear(gt_torso)
+                    else:
+                        gt_images = srgb_to_linear(gt_images)
                 if opt.torso:
-                    loss = torso_loss(results, batch["bg_torso_color"])
+                    loss = torso_loss(results, gt_torso)
                 else:
                     loss = head_loss(
-                        results, batch["images"], batch["face_mask"],
+                        results, gt_images, batch["face_mask"],
                         global_step, opt.iters, opt.lambda_amb,
                         lpips_fn=lpips_fn if use_lpips else None,
                         lpips_shape=lips_shape if use_lpips else None,
@@ -343,13 +355,13 @@ class Trainer:
             net_cfg, rc = self.net_cfg, self.render_cfg
 
             @jax.jit
-            def render(params, state, batch):
+            def render(params, state, batch, noises=None):
                 results, state2 = render_rays(
                     params, net_cfg, rc, state,
                     batch["rays_o"], batch["rays_d"], batch.get("auds"),
                     batch["bg_coords"], batch["poses"], batch.get("eye"),
                     batch["index"], batch["bg_color"],
-                    noises=None, training=False,
+                    noises=noises, training=False,
                 )
                 return results, state2
 
@@ -534,6 +546,16 @@ class Trainer:
             self._packed_cache = (base, precompute_packed_tables(base, self.net_cfg))
         return self._packed_cache[1]
 
+    @staticmethod
+    def _normalize_depth(depth):
+        """Depth buffers are world-unit values (~3-4 at the reference working
+        distance), so a raw clip(0,1)*255 dump saturates white. Normalize to
+        the frame's range for visual artifacts (the reference's depth is
+        near/far-normalized in-render, renderer.py:306-311)."""
+        d = np.asarray(depth, np.float32)
+        lo, hi = float(d.min()), float(d.max())
+        return (d - lo) / max(hi - lo, 1e-6)
+
     def eval_step(self, batch):
         render = self._get_render_fn()
         results, _ = render(self._eval_params(), self.state, batch)
@@ -562,6 +584,15 @@ class Trainer:
             batch = self._to_device(dataset.collate(i))
             pred, depth = self.eval_step(batch)
             gt = np.asarray(batch["images"]).reshape(pred.shape[0], pred.shape[1], -1)[..., :3]
+            if self.opt.color_space == "linear":
+                # loss/metrics compare in linear space (utils.py:824-825);
+                # only the saved PNG is srgb-encoded (:1266)
+                from ..utils.color import linear_to_srgb, srgb_to_linear
+
+                gt = np.asarray(srgb_to_linear(gt))
+                pred_save = np.asarray(linear_to_srgb(np.clip(pred, 0, 1)))
+            else:
+                pred_save = pred
             total_loss += float(np.mean((pred - gt) ** 2))
             count += 1
             for metric in self.metrics:
@@ -571,11 +602,11 @@ class Trainer:
 
                 imageio.imwrite(
                     os.path.join(save_path, f"{name}_{i:04d}_rgb.png"),
-                    (np.clip(pred, 0, 1) * 255).astype(np.uint8),
+                    (np.clip(pred_save, 0, 1) * 255).astype(np.uint8),
                 )
                 imageio.imwrite(
                     os.path.join(save_path, f"{name}_{i:04d}_depth.png"),
-                    (np.clip(depth, 0, 1) * 255).astype(np.uint8),
+                    (np.clip(self._normalize_depth(depth), 0, 1) * 255).astype(np.uint8),
                 )
         avg = total_loss / max(count, 1)
         self.stats["valid_loss"].append(avg)
@@ -590,20 +621,30 @@ class Trainer:
         self.log(f"++> Evaluate epoch {self.epoch} Finished, loss={avg:.6f}")
 
     # ------------------------------------------------------------- test API
-    def test_step(self, batch, bg_color=None):
+    def test_step(self, batch, bg_color=None, perturb=False):
         """Render one frame (utils.py:841-868). With --data_parallel and a
         multi-chip mesh, the frame's rays shard across chips via the
-        zero-collective shard_map renderer (parallel/mesh.py)."""
+        zero-collective shard_map renderer (parallel/mesh.py).
+
+        ``perturb``: falsy for deterministic marching; an int is used as the
+        jitter seed (the reference GUI passes spp as the perturb seed,
+        utils.py:1076-1077, for progressive supersampling accumulation)."""
         if self.opt.exp_eye and self.opt.fix_eye >= 0:
             batch["eye"] = jnp.full((1, 1), self.opt.fix_eye, jnp.float32)
         if bg_color is not None:
             batch["bg_color"] = jnp.asarray(bg_color)
         H, W = batch["H"], batch["W"]
+        noises = None
+        if perturb:
+            noises = jax.random.uniform(
+                jax.random.PRNGKey(int(perturb)), (batch["rays_o"].shape[0],)
+            )
         n_dev = self.mesh.devices.size if self.mesh is not None else 1
         # the sharded path needs a concrete audio window (shard_map specs
         # cannot carry None) — audio-less datasets fall through to the
         # single-device render, which tolerates a missing key
-        if (self.mesh is not None and batch.get("auds") is not None
+        if (self.mesh is not None and noises is None
+                and batch.get("auds") is not None
                 and batch["rays_o"].shape[0] % n_dev == 0):
             from ..parallel import replicate
             from ..parallel.mesh import make_render_frame_dp, shard_batch
@@ -623,7 +664,8 @@ class Trainer:
             return (np.asarray(img).reshape(H, W, 3),
                     np.asarray(depth).reshape(H, W))
         render = self._get_render_fn()
-        results, self.state = render(self._eval_params(), self.state, batch)
+        results, self.state = render(self._eval_params(), self.state, batch,
+                                     noises)
         pred = np.asarray(results["image"]).reshape(H, W, 3)
         depth = np.asarray(results["depth"]).reshape(H, W)
         return pred, depth
@@ -642,12 +684,18 @@ class Trainer:
         for i in range(len(dataset)):
             batch = self._to_device(dataset.collate(i))
             pred, depth = self.test_step(batch)
+            if self.opt.color_space == "linear":
+                # predictions live in linear space; encode for display
+                # (reference nerf/utils.py:952-953)
+                from ..utils.color import linear_to_srgb
+
+                pred = np.asarray(linear_to_srgb(np.clip(pred, 0, 1)))
             img = (np.clip(pred, 0, 1) * 255).astype(np.uint8)
             if write_image:
                 imageio.imwrite(os.path.join(save_path, f"{name}_{i:04d}_rgb.png"), img)
                 imageio.imwrite(
                     os.path.join(save_path, f"{name}_{i:04d}_depth.png"),
-                    (np.clip(depth, 0, 1) * 255).astype(np.uint8),
+                    (np.clip(self._normalize_depth(depth), 0, 1) * 255).astype(np.uint8),
                 )
             frames.append(img)
         fps_measured = len(frames) / max(time.time() - t0, 1e-9)
@@ -712,7 +760,23 @@ class Trainer:
                 if bg_color is not None else np.ones((rH * rW, 3), np.float32)
             ),
         }
-        pred, depth = self.test_step(self._to_device(batch))
+        # spp > 1: perturbed re-render for progressive supersampling — the
+        # caller accumulates frames; spp seeds the jitter (utils.py:1076-1077)
+        pred, depth = self.test_step(self._to_device(batch),
+                                     perturb=False if spp == 1 else spp)
+        if (rH, rW) != (H, W):
+            # dynamic-resolution rendering returns to full size for display
+            # (reference nerf/utils.py:1085: bilinear rgb, nearest depth)
+            import cv2
+
+            pred = cv2.resize(np.asarray(pred), (W, H),
+                              interpolation=cv2.INTER_LINEAR)
+            depth = cv2.resize(np.asarray(depth), (W, H),
+                               interpolation=cv2.INTER_NEAREST)
+        if self.opt.color_space == "linear":
+            from ..utils.color import linear_to_srgb
+
+            pred = np.asarray(linear_to_srgb(np.clip(pred, 0, 1)))
         return {"image": pred, "depth": depth}
 
     # --------------------------------------------------------------- meshes

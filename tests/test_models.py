@@ -435,20 +435,34 @@ def test_sigma_bytes_invariant_no_bare_replace():
     sigma_bytes must never be set with a bare .replace() — with_sigma_bytes
     keeps sigma_rows/coarse_rows in sync (a stale packed view silently
     renders from outdated occupancy)."""
+    import ast
     import pathlib
-    import re
 
     root = pathlib.Path(__file__).resolve().parents[1]
     offenders = []
     for p in list((root / "radnerf_tpu").rglob("*.py")) + [
         root / "bench.py", root / "__graft_entry__.py"
     ]:
-        src = p.read_text()
-        for m in re.finditer(r"replace\([^)]*sigma_bytes\s*=", src, re.S):
-            span = src[max(0, m.start() - 500): m.start()]
-            if "def with_sigma_bytes" in span or "def create" in span:
-                continue  # the invariant helper / zero-init constructor
-            offenders.append(f"{p.relative_to(root)}: ...{m.group(0)[:60]}")
+        tree = ast.parse(p.read_text())
+        # Map each node to its enclosing function name via a walk that
+        # threads the innermost def name down the tree.
+        def visit(node, func_name):
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                func_name = node.name
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "replace"
+                and any(kw.arg == "sigma_bytes" for kw in node.keywords)
+                and func_name not in ("with_sigma_bytes", "create")
+            ):
+                offenders.append(
+                    f"{p.relative_to(root)}:{node.lineno} in {func_name}()"
+                )
+            for child in ast.iter_child_nodes(node):
+                visit(child, func_name)
+
+        visit(tree, "<module>")
     assert not offenders, (
         "bare .replace(sigma_bytes=...) found (use with_sigma_bytes): "
         + "; ".join(offenders)

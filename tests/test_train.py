@@ -489,6 +489,107 @@ def test_lpips_and_psnr():
     assert bool(jnp.any(g != 0))
 
 
+def test_lmd_meter_fake_predictor():
+    """LMD update/measure with an injected landmark predictor (the real
+    face_alignment model is gated; reference nerf/utils.py:475-567)."""
+    from radnerf_tpu.train.metrics import LMDMeter
+
+    base = np.stack(
+        [np.arange(68, dtype=np.float32), np.arange(68, dtype=np.float32) * 2],
+        axis=1,
+    )  # [68, 2]
+
+    class FakePredictor:
+        def get_landmarks(self, img):
+            # scale landmarks by the (uint8) image mean so pred != truth
+            s = 1.0 + float(np.asarray(img).mean()) / 255.0
+            return [base * s]
+
+    m = LMDMeter(predictor=FakePredictor())
+    pred = np.zeros((16, 16, 3), np.float32)
+    truth = np.ones((16, 16, 3), np.float32)
+    m.update(pred, truth)
+    # expected: centered landmarks scaled by s_pred=1.0 vs s_true=2.0,
+    # mouth region points 48:68
+    c = base - base.mean(0)
+    expected = float(np.linalg.norm(c[48:68] * 1.0 - c[48:68] * 2.0, axis=-1).mean())
+    np.testing.assert_allclose(m.measure(), expected, rtol=1e-5)
+    assert "LMD" in m.report()
+    m.clear()
+    m.update(pred, pred)
+    assert m.measure() < 1e-6
+
+    # without a predictor and without face_alignment installed, construction
+    # raises ImportError (main.py catches any failure and skips the metric)
+    import importlib.util
+
+    if importlib.util.find_spec("face_alignment") is None:
+        import pytest as _pytest
+
+        with _pytest.raises(ImportError):
+            LMDMeter()
+
+
+def test_color_space_linear(data_dir, tmp_path):
+    """color_space='linear': the train step fits linearized GT
+    (utils.py:736-737) and display paths srgb-encode predictions
+    (:952-953, 1088-1089)."""
+    from radnerf_tpu.data.rays import get_audio_features
+    from radnerf_tpu.utils.color import linear_to_srgb
+
+    rc = RenderConfig(torso=False, exp_eye=True, **TINY_RC)
+    opt_s = _opts(data_dir, str(tmp_path / "ws_cs"))
+    opt_l = _opts(data_dir, str(tmp_path / "ws_cl"), color_space="linear")
+    ds = TalkingHeadDataset(opt_s, split="train")
+    tr_s = Trainer("ngp", opt_s, render_cfg=rc, workspace=str(tmp_path / "ws_cs"),
+                   use_tensorboard=False, mute=True, use_checkpoint="scratch")
+    tr_l = Trainer("ngp", opt_l, render_cfg=rc, workspace=str(tmp_path / "ws_cl"),
+                   use_tensorboard=False, mute=True, use_checkpoint="scratch")
+
+    # same seed -> identical initial params; the same batch must produce a
+    # DIFFERENT loss because linear mode linearizes the GT inside the step
+    batch = tr_s._to_device(ds.collate(0))
+    sig = ("none", None, batch["rays_o"].shape[0])
+    key = jax.random.PRNGKey(7)
+    gs = jnp.asarray(1.0, jnp.float32)
+    loss_s = tr_s._get_train_step(sig)(
+        tr_s.params, tr_s.opt_state, tr_s.state, batch, gs, key)[3]
+    loss_l = tr_l._get_train_step(sig)(
+        tr_l.params, tr_l.opt_state, tr_l.state, batch, gs, key)[3]
+    assert np.isfinite(float(loss_s)) and np.isfinite(float(loss_l))
+    assert abs(float(loss_s) - float(loss_l)) > 1e-6
+
+    # display path: identical params/state, flipping the flag must encode
+    # the linear prediction with linear_to_srgb (exact functional relation)
+    pose = np.asarray(ds.poses[0])
+    auds = get_audio_features(ds.auds, opt_s.att, 0)
+    out_srgb = tr_s.test_gui(pose, ds.intrinsics, W, H, auds=auds)
+    tr_s.opt.color_space = "linear"
+    out_lin = tr_s.test_gui(pose, ds.intrinsics, W, H, auds=auds)
+    np.testing.assert_allclose(
+        out_lin["image"],
+        np.asarray(linear_to_srgb(np.clip(out_srgb["image"], 0.0, 1.0))),
+        atol=1e-5,
+    )
+
+
+def test_test_gui_downscale_upsamples(data_dir, tmp_path):
+    """test_gui renders at `downscale` resolution but returns full (H, W)
+    frames (reference nerf/utils.py:1085)."""
+    from radnerf_tpu.data.rays import get_audio_features
+
+    rc = RenderConfig(torso=False, exp_eye=True, **TINY_RC)
+    opt = _opts(data_dir, str(tmp_path / "ws_dsg"))
+    ds = TalkingHeadDataset(opt, split="train")
+    tr = Trainer("ngp", opt, render_cfg=rc, workspace=str(tmp_path / "ws_dsg"),
+                 use_tensorboard=False, mute=True, use_checkpoint="scratch")
+    pose = np.asarray(ds.poses[0])
+    auds = get_audio_features(ds.auds, opt.att, 0)
+    out = tr.test_gui(pose, ds.intrinsics, W, H, auds=auds, downscale=0.5)
+    assert out["image"].shape == (H, W, 3)
+    assert out["depth"].shape == (H, W)
+
+
 def test_torso_stage_from_head_checkpoint(data_dir, tmp_path):
     """The full 3-stage golden path: head train (with EMA) -> save -> torso
     trainer imports + freezes the head ckpt -> train -> eval. Regression for
