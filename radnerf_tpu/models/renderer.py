@@ -629,7 +629,10 @@ def render_rays(
             pix_idx = jnp.zeros((Rt,), jnp.int32).at[slot_t].set(
                 jnp.arange(N, dtype=jnp.int32), mode="drop"
             )
-            coords_c = bg_coords[pix_idx]
+            # pad the 2-col coord operand to 4 lanes: 8-byte rows gather at
+            # ~94M rows/s (padded-lane layout), 16-byte rows at ~160M
+            # (measured, scripts/bench_compact.py C1: 1.9 -> 1.2 ms)
+            coords_c = jnp.pad(bg_coords, ((0, 0), (0, 2)))[pix_idx][:, :2]
             a_c, c_c, deform = forward_torso(
                 params, net_cfg, coords_c, pose6, ind_code_torso
             )

@@ -260,8 +260,14 @@ def build_packed_table(
     is rebuilt inside the train step and gradients flow back to the
     canonical fp32 table automatically.
 
-    Returns a tuple of per-level arrays [T_l, 2^D * C]; entry k of level l
-    is concat_c V[offs_l + (k + delta_c^l) % T_l].
+    Returns a tuple of per-level arrays [T_l, C * 2^D]; rows are
+    CHANNEL-MAJOR (all 2^D corners of channel 0, then channel 1, ...):
+    entry k of level l is concat_ch concat_c V[offs_l + (k + delta_c^l) %
+    T_l][ch]. Channel-major keeps the corner axis MINOR after the row
+    fetch, so the trilinear reduction is an in-register lane reduce — the
+    corner-interleaved layout forced XLA to relayout-copy every fetched
+    level (~140 us x 32 levels/frame, profiled) before it could reduce the
+    middle axis.
     """
     if spec.gridtype != "tiled":
         raise ValueError("corner packing requires a tiled grid (hash indices are not additive)")
@@ -275,7 +281,8 @@ def build_packed_table(
         for corner in range(1 << D):
             delta = sum(strides[d] for d in range(D) if (corner >> d) & 1)
             corners.append(jnp.roll(seg, -delta % seg.shape[0], axis=0))
-        lvl = jnp.concatenate(corners, axis=-1)
+        # [T, C, 2^D] -> [T, C * 2^D] channel-major rows
+        lvl = jnp.stack(corners, axis=-1).reshape(seg.shape[0], -1)
         per_level.append(lvl if dtype is None else lvl.astype(dtype))
     return tuple(per_level)
 
@@ -338,7 +345,6 @@ def grid_encode01_packed(
                               packed[level], precision=prec)
         else:
             rows = jnp.take(packed[level], key.astype(jnp.int32), axis=0)
-        rows = rows.astype(jnp.float32).reshape(*rows.shape[:-1], n_corners, C)
 
         # trilinear weights, corner-major to match packing order
         w = jnp.ones((*x.shape[:-1], 1), jnp.float32)
@@ -351,8 +357,20 @@ def grid_encode01_packed(
                 w = (w[..., None, :] * pair[..., :, None]).reshape(
                     *x.shape[:-1], -1
                 )
-        # w is ordered with corner_bit0 fastest: w[..., c] matches corner c
-        out = jnp.sum(w[..., None] * rows, axis=-2)
+        # w is ordered with corner_bit0 fastest: w[..., c] matches corner c.
+        # Rows are channel-major [..., C * 2^D], so the corner axis is MINOR
+        # after the (free, row-major) reshape and the reduction is an
+        # in-register lane reduce — no relayout copy. bf16 tables also
+        # interpolate in bf16: the consumer MLPs run in bf16 anyway, so f32
+        # interpolation of bf16-quantized corners bought nothing but double
+        # bandwidth through the widest tensors of the frame.
+        if rows.dtype == jnp.bfloat16:
+            prod = rows.reshape(*rows.shape[:-1], C, n_corners) \
+                * w[..., None, :].astype(jnp.bfloat16)
+        else:
+            prod = rows.astype(jnp.float32).reshape(
+                *rows.shape[:-1], C, n_corners) * w[..., None, :]
+        out = jnp.sum(prod, axis=-1)  # [..., C]
         level_outputs.append(jnp.where(oob, 0.0, out))
 
     return jnp.concatenate(level_outputs, axis=-1)

@@ -660,7 +660,17 @@ def march_rays_grouped(
     occ_f, sig_f = sigma_byte_lookup(
         xyz_f, jnp.full_like(tf, dt), sigma_rows, cfg
     )
-    occ_f = occ_f & (tf < e_tend[:, None]) & live[:, None] & found[:, None]
+    # kf - e_k0 < K: the last group of a ray whose K is not a multiple of
+    # ``group`` otherwise marches up to group-1 fine steps past the dense
+    # marcher's K-step truncation (live since capacity sizing buckets K to
+    # multiples of 2, not of ``group``)
+    occ_f = (
+        occ_f
+        & (tf < e_tend[:, None])
+        & (kf - e_k0[:, None] < K)
+        & live[:, None]
+        & found[:, None]
+    )
 
     # pack (k_rel+1 | 0) and sigma planes; slab-return to per-ray lattice
     k_plane = jnp.where(occ_f, kf - e_k0[:, None] + 1.0, 0.0)
