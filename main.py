@@ -27,6 +27,12 @@ def build_parser():
     p.add_argument("--workspace", type=str, default="workspace")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--iters", type=int, default=200000)
+    # non-reference extension: the reference hardcodes EMA updates every
+    # 1000 steps (nerf/utils.py:578), sized for 200k-iter runs; short
+    # (reduced-iteration) recipes need a proportionally shorter interval
+    # or eval renders near-initial weights (quality_harness.py passes
+    # iters // 20).
+    p.add_argument("--ema_update_interval", type=int, default=1000)
     p.add_argument("--lr", type=float, default=5e-3)
     p.add_argument("--lr_net", type=float, default=5e-4)
     p.add_argument("--ckpt", type=str, default="latest")
@@ -159,6 +165,7 @@ def main():
     eval_interval = max(1, int(5000 / len(train_ds)))
     trainer = Trainer("ngp", opt, metrics=[PSNRMeter(), LPIPSMeter(weights_path=opt.lpips_weights)],
                       workspace=opt.workspace, ema_decay=0.95,
+                      ema_update_interval=opt.ema_update_interval,
                       eval_interval=eval_interval, use_checkpoint=opt.ckpt)
     # torso stage: import + freeze head (main.py:142-157)
     if opt.torso and opt.head_ckpt:

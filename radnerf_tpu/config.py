@@ -29,6 +29,11 @@ class Options:
     num_rays: int = 4096 * 16
     max_steps: int = 16
     update_extra_interval: int = 16
+    # non-reference extension: the reference hardcodes EMA updates every
+    # 1000 steps (nerf/utils.py:578), sized for 200k-iter schedules;
+    # reduced-iteration recipes (quality harness, CI) need it shortened or
+    # eval renders near-initial EMA weights
+    ema_update_interval: int = 1000
     # accepted for reference-CLI parity only: the reference uses this to
     # chunk rays in its non-cuda_ray staged renderer (renderer.py:504-528),
     # a path its own main.py:120 makes unreachable (cuda_ray forced True).

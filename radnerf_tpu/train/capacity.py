@@ -63,18 +63,23 @@ def adapt_render_config(
     r_for_mult = ray_capacity(n_rays, frac)
     used = n_needed / max(r_for_mult, 1)
     # quarter-step granularity: integer mults waste up to R slots of
-    # encoder gathers per frame; shrink only past a half-step of slack
-    want_mult = max(0.25, -(-used * headroom / 0.25 // 1) * 0.25)
+    # encoder gathers per frame; shrink only past a half-step of slack.
+    # fresh (one-shot sizing from exhaustive telemetry): 1/16 steps — the
+    # encoder gathers scale linearly with this capacity and there is no
+    # recompile churn to bound
+    step = 0.0625 if fresh else 0.25
+    want_mult = max(step, -(-used * headroom / step // 1) * step)
     if fresh or want_mult > mult or want_mult < mult - 0.5:
         mult = want_mult
 
     march_iters = rc.march_iters
     dt_min = rc.march_config().dt_min
+    k_step = 2 if fresh else 8  # fine buckets when there is no churn to bound
     if n_k_span is not None and n_k_span > 0:
         # EXACT need: the widest per-ray marched window, measured
         # (results["n_k_span"]). For a frontal camera the occupied-bbox
         # depth binds this far below the sphere-diameter estimate.
-        want_k = int(-(-(n_k_span + 2) // 8)) * 8
+        want_k = int(-(-(n_k_span + 2) // k_step)) * k_step
     else:
         # no telemetry: conservative bound from the occupied-sphere
         # diameter (a window chord can never exceed it)
@@ -91,7 +96,9 @@ def adapt_render_config(
 
     slots = rc.sample_slots if rc.sample_slots is not None else rc.max_steps
     if fresh:
-        slots = min(rc.max_steps, max(4, int(-(-(n_max + 1) // 4)) * 4))
+        # +1 safety slot, buckets of 2 (the return-trip slab gathers, the
+        # marcher's slot selection, and compositing all scale with this)
+        slots = min(rc.max_steps, max(4, int(-(-(n_max + 1) // 2)) * 2))
     elif n_max >= slots and slots < rc.max_steps:
         slots = min(rc.max_steps, slots + 4)
     elif n_max + 1 <= slots - 4:

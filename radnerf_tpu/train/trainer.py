@@ -118,6 +118,21 @@ class Trainer:
         self.flip_finetune_lips = opt.finetune_lips
         self.time_stamp = time.strftime("%Y-%m-%d_%H-%M-%S")
 
+        if self.render_cfg.march_group:
+            # the train-step telemetry stack carries only
+            # n_hit/n_samples_needed/n_max_count/n_k_span — an undersized
+            # march_group buffer would silently drop groups with no
+            # adaptation (the exact bug class _adapt_capacities exists to
+            # kill). The grouped marcher is an inference-side experiment
+            # (measured net-neutral, PERFORMANCE.md); reject it for
+            # training rather than drop work silently.
+            raise ValueError(
+                "march_group=True is not supported for training: group "
+                "overflow telemetry is not wired into capacity adaptation. "
+                "Train with the dense marcher and enable march_group for "
+                "inference only."
+            )
+
         self.key = jax.random.PRNGKey(opt.seed)
         self.params = params if params is not None else init_params(
             self._next_key(), self.net_cfg
@@ -186,12 +201,13 @@ class Trainer:
                     "alex-LPIPS term."
                 )
 
-        if self.workspace and params is None:
-            self._restore(use_checkpoint)
-
-        # jit caches
+        # jit caches (before _restore: capacity restore invalidates them)
         self._train_step_fn = {}
         self._render_fn = {}
+        self._packed_cache = None
+
+        if self.workspace and params is None:
+            self._restore(use_checkpoint)
         # bound on adaptive-capacity recompiles (each costs minutes on the
         # remote-compile service); _adapt_capacities warns loudly if the cap
         # binds while telemetry still shows dropped work
@@ -369,6 +385,45 @@ class Trainer:
         return self._render_fn["render"]
 
     # ------------------------------------------------------ grid maintenance
+    def _get_maintenance_fn(self, kind: str):
+        """Jitted grid-maintenance step (cached; cleared on capacity adapt).
+
+        Maintenance MUST be one jitted call, not eager op-by-op: under data
+        parallelism the train steps ahead of it in the queue contain the
+        gradient psum, and eagerly dispatched multi-device ops can overtake
+        that all-reduce on a subset of device queues — the rendezvous then
+        times out and XLA aborts the process (observed on the 8-device CPU
+        mesh: `rendezvous.cc` "only 5 of 8 arrived"). A single jitted
+        executable keeps every device queue identically ordered."""
+        key = ("maintenance", kind)
+        if key not in self._render_fn:
+            net_cfg, rc = self.net_cfg, self.render_cfg
+            if kind == "head":
+
+                @jax.jit
+                def fn(params, state, auds, eye, key_):
+                    enc_a = (
+                        encode_audio(params, net_cfg, auds)
+                        if auds is not None else None
+                    )
+                    return update_density_grid(
+                        params, net_cfg, rc, state, enc_a, eye, key_
+                    )
+            else:
+
+                @jax.jit
+                def fn(params, state, pose6, pidx, key_):
+                    code = (
+                        params["individual_codes_torso"][pidx]
+                        if net_cfg.ind_dim_torso > 0 else None
+                    )
+                    return update_torso_grid(
+                        params, net_cfg, rc, state, pose6, code, key_
+                    )
+
+            self._render_fn[key] = fn
+        return self._render_fn[key]
+
     def _update_extra_state(self, dataset):
         """update_extra_state cadence hook (renderer.py:383-501): random audio
         window + random eye for the head grid; random pose + torso code for
@@ -377,31 +432,25 @@ class Trainer:
         if dataset.auds is not None:
             ridx = int(rng.integers(0, dataset.auds.shape[0]))
             auds = jnp.asarray(get_audio_features(dataset.auds, self.opt.att, ridx))
-            enc_a = encode_audio(self.params, self.net_cfg, auds)
         else:
-            enc_a = None
+            auds = None
             ridx = 0
         eye = None
         if self.opt.exp_eye and dataset.eye_area is not None:
             eye = jnp.asarray(dataset.eye_area[ridx].reshape(1, 1))
 
         if not self.opt.torso:
-            self.state = update_density_grid(
-                self.params, self.net_cfg, self.render_cfg, self.state,
-                enc_a, eye, self._next_key(),
+            self.state = self._get_maintenance_fn("head")(
+                self.params, self.state, auds, eye, self._next_key(),
             )
         else:
             pidx = int(rng.integers(0, dataset.poses.shape[0]))
             from ..data.rays import convert_poses
 
             pose6 = jnp.asarray(convert_poses(dataset.poses[pidx][None]))
-            code = (
-                self.params["individual_codes_torso"][pidx]
-                if self.net_cfg.ind_dim_torso > 0 else None
-            )
-            self.state = update_torso_grid(
-                self.params, self.net_cfg, self.render_cfg, self.state,
-                pose6, code, self._next_key(),
+            self.state = self._get_maintenance_fn("torso")(
+                self.params, self.state, pose6,
+                jnp.asarray(pidx, jnp.int32), self._next_key(),
             )
 
     # --------------------------------------------------------------- device
@@ -497,9 +546,19 @@ class Trainer:
             if self.ema_params is not None and (
                 self.global_step % self.ema_update_interval == 0
             ):
-                d = self.ema_decay
-                self.ema_params = jax.tree_util.tree_map(
-                    lambda e, p: d * e + (1 - d) * p, self.ema_params, self.params
+                # one jitted call, not eager per-leaf ops: eager multi-device
+                # dispatch can overtake the in-flight gradient psum on a
+                # subset of device queues under DP and deadlock the
+                # rendezvous (see _get_maintenance_fn)
+                if "ema_update" not in self._render_fn:
+                    d = self.ema_decay
+                    self._render_fn["ema_update"] = jax.jit(
+                        lambda e, p: jax.tree_util.tree_map(
+                            lambda a, b: d * a + (1 - d) * b, e, p
+                        )
+                    )
+                self.ema_params = self._render_fn["ema_update"](
+                    self.ema_params, self.params
                 )
 
             if self.writer and self.global_step % 16 == 0:
@@ -810,11 +869,29 @@ class Trainer:
     # ---------------------------------------------------------- checkpoints
     def save_checkpoint(self, name=None, full=False, best=False):
         name = name or f"{self.name}_ep{self.epoch:04d}"
+        rc = self.render_cfg
         meta = {
             "epoch": self.epoch,
             "global_step": self.global_step,
             "mean_density": float(self.state.mean_density),
             "mean_density_torso": float(self.state.mean_density_torso),
+            # Persist the telemetry-adapted capacities AND the march lattice
+            # the field was trained with. A fresh Trainer (infer.py, eval
+            # harness) otherwise renders with DEFAULT capacities — on a
+            # converged scene that silently drops over half the needed
+            # samples (572k needed vs 262k default capacity measured on the
+            # quality-harness scene: 15 dB instead of 32 dB) — and a
+            # different march_iters/sample_slots changes the quadrature the
+            # network was trained against.
+            "render_cfg": {
+                "ray_capacity_frac": rc.ray_capacity_frac,
+                "sample_capacity_mult": rc.sample_capacity_mult,
+                "march_iters": rc.march_iters,
+                "sample_slots": rc.sample_slots,
+                "torso_capacity_frac": rc.torso_capacity_frac,
+                "march_group_mult": rc.march_group_mult,
+                "march_group_slots": rc.march_group_slots,
+            },
         }
         if not best:
             path = os.path.join(self.ckpt_path, f"{name}.npz")
@@ -848,6 +925,21 @@ class Trainer:
             self.opt_state = self.tx.init(self.params)
             return
         params, state, ema, opt_flat, meta = ckpt_lib.load_checkpoint(path)
+        cap = meta.get("render_cfg")
+        if cap:
+            import dataclasses
+
+            self.render_cfg = dataclasses.replace(self.render_cfg, **cap)
+            self._train_step_fn.clear()
+            self._render_fn.clear()
+            self._packed_cache = None
+            self.log(
+                "[INFO] restored trained render capacities "
+                f"(frac={self.render_cfg.ray_capacity_frac} "
+                f"mult={self.render_cfg.sample_capacity_mult} "
+                f"K={self.render_cfg.march_iters} "
+                f"slots={self.render_cfg.sample_slots})"
+            )
         if params is not None:
             self.params, _ = ckpt_lib.merge_imported(self.params, params)
         if state is not None:

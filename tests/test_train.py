@@ -660,6 +660,47 @@ def test_adaptive_capacities(data_dir, tmp_path):
     assert tr.render_cfg.sample_capacity_mult * R >= 128
 
 
+def test_trainer_rejects_march_group(data_dir, tmp_path):
+    """march_group has no train-path overflow telemetry (the stats stack
+    carries only n_hit/n_samples_needed/n_max_count/n_k_span), so an
+    undersized group buffer would silently drop work during training —
+    the Trainer must refuse it loudly."""
+    opt = _opts(data_dir, str(tmp_path))
+    rc = RenderConfig(torso=False, exp_eye=True, march_group=True, **TINY_RC)
+    with pytest.raises(ValueError, match="march_group"):
+        Trainer("ngp", opt, render_cfg=rc, workspace=str(tmp_path),
+                use_tensorboard=False, mute=True, use_checkpoint="scratch")
+
+
+def test_checkpoint_persists_render_capacities(data_dir, tmp_path):
+    """Adapted capacities + march lattice survive a checkpoint roundtrip:
+    a fresh Trainer would otherwise render with DEFAULT capacities, which on
+    a converged scene silently drops >half the needed samples (measured:
+    15 dB instead of 32 dB on the quality-harness scene) and changes the
+    quadrature (march_iters/sample_slots) the field was trained with."""
+    import dataclasses
+
+    opt = _opts(data_dir, str(tmp_path / "ws_c"))
+    rc = RenderConfig(torso=False, exp_eye=True, **TINY_RC)
+    tr = Trainer("ngp", opt, render_cfg=rc, workspace=str(tmp_path / "ws_c"),
+                 use_tensorboard=False, mute=True, use_checkpoint="scratch")
+    tr.render_cfg = dataclasses.replace(
+        tr.render_cfg, ray_capacity_frac=1.0, sample_capacity_mult=18.0,
+        march_iters=80, sample_slots=16,
+    )
+    tr.epoch = 1
+    tr.save_checkpoint(full=True)
+
+    tr2 = Trainer("ngp", opt, render_cfg=rc, workspace=str(tmp_path / "ws_c"),
+                  use_tensorboard=False, mute=True, use_checkpoint="latest")
+    assert tr2.render_cfg.ray_capacity_frac == 1.0
+    assert tr2.render_cfg.sample_capacity_mult == 18.0
+    assert tr2.render_cfg.march_iters == 80
+    assert tr2.render_cfg.sample_slots == 16
+    # non-capacity fields still come from the constructor config
+    assert tr2.render_cfg.grid_size == rc.grid_size
+
+
 def test_lpips_weights_file(tmp_path):
     """LPIPS.load_weights_file imports official-format calibration weights
     (torchvision alexnet `features.*` convs + lpips `lin*` heads) from a
