@@ -1,0 +1,423 @@
+#!/usr/bin/env python
+"""End-to-end quality harness: synthetic reference-format dataset -> the
+3-stage training recipe (main.py) -> PSNR/LPIPS on the val split + an
+audio-sensitivity check.
+
+Purpose (VERDICT r2 #3): the BASELINE criterion is "PSNR within 0.5 dB of
+reference renders", but the published pretrained weights/data are not
+fetchable in this environment. This harness provides the METHOD end to end
+on a synthetic scene whose ground truth is rendered by an INDEPENDENT dense
+numpy volume renderer (no occupancy grid, no capacities, no shared code with
+the radnerf_tpu render path beyond the ray model of the data layer):
+
+  1. build a talking-head-shaped dataset in the reference's on-disk format
+     (transforms_{train,val}.json, gt_imgs/, torso_imgs/, ori_imgs/*.lms,
+     bc.jpg, aud_eo.npy) — a soft-ellipsoid head whose mouth region opens
+     and closes driven by the audio features, plus a static torso plate;
+  2. train the head stage (and optionally the torso stage) via the real CLI
+     (python main.py ... -O) at reduced iterations;
+  3. evaluate PSNR/LPIPS on the val split through Trainer.evaluate (the
+     reference's eval oracle, nerf/utils.py:402-567);
+  4. audio sensitivity: re-render a val frame with a DIFFERENT audio window
+     and assert the difference concentrates in the mouth region (the core
+     talking-head capability: audio drives the mouth).
+
+Usage:
+    python scripts/quality_harness.py [--root /tmp/qh_data] [--iters 3000]
+        [--H 256] [--n-train 48] [--torso-iters 0] [--skip-train]
+
+Writes results to <workspace>/quality_results.json and prints a summary.
+The tiny-size smoke version runs in CI (tests/test_quality.py).
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _REPO)
+# the harness's own evaluate() phase compiles the full-frame render graph —
+# reuse the repo compile cache (first compile is 5-15 min otherwise)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(_REPO, ".jax_cache"))
+
+# ---------------------------------------------------------------------------
+# synthetic scene (pure numpy; the GT oracle)
+# ---------------------------------------------------------------------------
+
+HEAD_C = np.array([0.0, 0.05, 0.0], np.float32)
+HEAD_R = np.array([0.42, 0.40, 0.42], np.float32)
+MOUTH_C = np.array([0.0, -0.18, 0.36], np.float32)
+EYE_Z = 0.36
+MOUTH_COL = np.array([0.55, 0.10, 0.10], np.float32)
+
+
+def mouth_openness(t_idx: int, n: int) -> float:
+    """Mouth state in [0, 1] over the sequence (synthetic 'speech')."""
+    return 0.5 + 0.5 * np.sin(2.0 * np.pi * t_idx / 16.0 + 0.7)
+
+
+def scene_sigma_color(x: np.ndarray, mouth: float):
+    """Density + color at points x [..., 3] (NGP world coords)."""
+    q = (x - HEAD_C) / HEAD_R
+    d2 = np.sum(q * q, axis=-1)
+    sig = 60.0 / (1.0 + np.exp(-(1.0 - d2) * 10.0))
+
+    col = 0.55 + 0.35 * np.stack(
+        [np.sin(3.0 * x[..., 0]),
+         np.sin(3.0 * x[..., 1] + 1.0),
+         np.sin(3.0 * x[..., 2] + 2.0)], axis=-1
+    ).astype(np.float32)
+
+    # mouth: dark blob whose radius follows the audio-driven openness
+    rm = 0.05 + 0.14 * mouth
+    dm2 = np.sum(((x - MOUTH_C) / rm) ** 2, axis=-1)
+    wm = np.exp(-2.0 * dm2)[..., None]
+    col = col * (1 - wm) + wm * MOUTH_COL
+
+    # eyes: two static dark spots
+    for ex in (-0.15, 0.15):
+        ce = np.array([ex, 0.16, EYE_Z], np.float32)
+        de2 = np.sum(((x - ce) / 0.055) ** 2, axis=-1)
+        we = np.exp(-2.0 * de2)[..., None]
+        col = col * (1 - we) + we * 0.05
+
+    return sig.astype(np.float32), np.clip(col, 0.0, 1.0).astype(np.float32)
+
+
+def render_gt(pose_ngp: np.ndarray, intrinsics, H: int, W: int, mouth: float,
+              n_steps: int = 160):
+    """Dense numpy volume render (independent GT oracle).
+
+    Returns (premultiplied head color [H, W, 3], weights_sum [H, W]) —
+    the caller composites over its choice of background."""
+    from radnerf_tpu.data.rays import get_rays
+
+    rays = get_rays(pose_ngp, intrinsics, H, W, -1)
+    o, d = rays["rays_o"], rays["rays_d"]
+    radius = float(np.linalg.norm(pose_ngp[:3, 3]))
+    t0, t1 = radius - 1.0, radius + 1.0
+    dt = (t1 - t0) / n_steps
+
+    T = np.ones((o.shape[0],), np.float32)
+    acc = np.zeros((o.shape[0], 3), np.float32)
+    wsum = np.zeros((o.shape[0],), np.float32)
+    for k in range(n_steps):
+        t = t0 + (k + 0.5) * dt
+        x = o + t * d
+        sig, col = scene_sigma_color(x, mouth)
+        alpha = 1.0 - np.exp(-sig * dt)
+        w = alpha * T
+        acc += w[:, None] * col
+        wsum += w
+        T = T * (1.0 - alpha)
+    return acc.reshape(H, W, 3), wsum.reshape(H, W)
+
+
+def ngp_pose_to_transform(pose_ngp: np.ndarray, scale: float = 4.0) -> np.ndarray:
+    """Invert data.rays.nerf_matrix_to_ngp (provider.py:19-26)."""
+    M = np.eye(4, dtype=np.float32)
+    M[1, 0], M[1, 1], M[1, 2] = pose_ngp[0, 0], -pose_ngp[0, 1], -pose_ngp[0, 2]
+    M[2, 0], M[2, 1], M[2, 2] = pose_ngp[1, 0], -pose_ngp[1, 1], -pose_ngp[1, 2]
+    M[0, 0], M[0, 1], M[0, 2] = pose_ngp[2, 0], -pose_ngp[2, 1], -pose_ngp[2, 2]
+    M[1, 3] = pose_ngp[0, 3] / scale
+    M[2, 3] = pose_ngp[1, 3] / scale
+    M[0, 3] = pose_ngp[2, 3] / scale
+    return M
+
+
+def make_pose_ngp(yaw: float, pitch: float, radius: float = 3.35) -> np.ndarray:
+    """NGP cam2world looking at the origin from spherical (yaw, pitch)."""
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    p = radius * np.array([sy * cp, sp, cy * cp], np.float32)
+    z = -p / np.linalg.norm(p)  # forward: rays go along +z cols (see get_rays)
+    up = np.array([0.0, 1.0, 0.0], np.float32)
+    xax = np.cross(up, z)
+    xax /= np.linalg.norm(xax)
+    yax = np.cross(z, xax)
+    pose = np.eye(4, dtype=np.float32)
+    pose[:3, 0], pose[:3, 1], pose[:3, 2], pose[:3, 3] = xax, yax, z, p
+    return pose
+
+
+def make_landmarks(pose_ngp, intrinsics, H, W):
+    """Plausible 68-pt landmarks from projected scene anchors: rows are
+    (y, x) pairs (the loader reads lms[:, 0]=y-ish, lms[:, 1]=x-ish —
+    see provider.py:142-151)."""
+    fx, fy, cx, cy = intrinsics
+
+    def project(pw):
+        cam = (pw - pose_ngp[:3, 3]) @ pose_ngp[:3, :3]
+        px = cam[0] / cam[2] * fx + cx
+        py = cam[1] / cam[2] * fy + cy
+        return np.array([px, py])  # (col, row)
+
+    head_lo = project(HEAD_C + np.array([-HEAD_R[0], -HEAD_R[1], EYE_Z]))
+    head_hi = project(HEAD_C + np.array([HEAD_R[0], HEAD_R[1], EYE_Z]))
+    x0, x1 = sorted([head_lo[0], head_hi[0]])
+    y0, y1 = sorted([head_lo[1], head_hi[1]])
+    mouth = project(MOUTH_C)
+    eye_l = project(np.array([-0.15, 0.16, EYE_Z]))
+    eye_r = project(np.array([0.15, 0.16, EYE_Z]))
+
+    lms = np.zeros((68, 2), np.float32)  # (col, row) pairs for now
+    # jaw 0:17 around the face ellipse
+    ang = np.linspace(0.2, np.pi - 0.2, 17)
+    lms[0:17, 0] = (x0 + x1) / 2 + (x1 - x0) / 2 * np.cos(ang)
+    lms[0:17, 1] = (y0 + y1) / 2 + (y1 - y0) / 2 * np.sin(ang)
+    # brows 17:27 near the top
+    lms[17:27, 0] = np.linspace(x0 + 2, x1 - 2, 10)
+    lms[17:27, 1] = y0 + 0.1 * (y1 - y0)
+    # nose 27:36 center column
+    lms[27:36, 0] = (x0 + x1) / 2
+    lms[27:36, 1] = np.linspace(y0 + 0.3 * (y1 - y0), y0 + 0.6 * (y1 - y0), 9)
+    # eyes 36:42 / 42:48: small hexagons (area feeds exp_eye)
+    for base, c in ((36, eye_l), (42, eye_r)):
+        a = np.linspace(0, 2 * np.pi, 6, endpoint=False)
+        lms[base: base + 6, 0] = c[0] + 4.0 * np.cos(a)
+        lms[base: base + 6, 1] = c[1] + 2.0 * np.sin(a)
+    # mouth 48:68 around the projected mouth center
+    a = np.linspace(0, 2 * np.pi, 20, endpoint=False)
+    lms[48:68, 0] = mouth[0] + 7.0 * np.cos(a)
+    lms[48:68, 1] = mouth[1] + 5.0 * np.sin(a)
+
+    lms = np.clip(lms, 1, [[W - 2, H - 2]])
+    # loader convention: column 0 read as y-coords for rect rows
+    return lms[:, ::-1]
+
+
+def make_torso_plate(H, W, pose6_jitter: float = 0.0):
+    """Static RGBA torso plate (trapezoid below the head) in image space."""
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    cx = W / 2 + pose6_jitter * W * 0.02
+    top = 0.62 * H
+    half_w = 0.16 * W + 0.25 * W * (yy - top) / (H - top)
+    inside = (yy > top) & (np.abs(xx - cx) < half_w)
+    alpha = np.where(inside, 1.0, 0.0).astype(np.float32)
+    # soften the edge
+    import cv2
+
+    alpha = cv2.GaussianBlur(alpha, (7, 7), 2.0)
+    col = np.zeros((H, W, 3), np.float32)
+    col[..., 0] = 0.25 + 0.3 * yy / H
+    col[..., 1] = 0.25
+    col[..., 2] = 0.45 - 0.2 * yy / H
+    return np.concatenate([col, alpha[..., None]], axis=-1)
+
+
+def make_audio_features(n: int, dim: int = 44) -> np.ndarray:
+    """[n, 16, dim] features encoding the mouth state so AudioNet can
+    recover it from the 16-frame window (reference format: unfolded logits,
+    asr.py:236-251)."""
+    feats = np.zeros((n, 16, dim), np.float32)
+    rng = np.random.default_rng(11)
+    base = rng.normal(0, 0.05, (16, dim)).astype(np.float32)
+    for t in range(n):
+        m = mouth_openness(t, n)
+        feats[t] = base
+        feats[t, :, 0] = m  # dominant channel carries the openness
+        feats[t, :, 1] = np.sin(2 * np.pi * t / 7.0) * 0.3  # distractor
+    return feats
+
+
+def make_dataset(root: str, n_train: int = 48, n_val: int = 8, H: int = 256,
+                 W: int = 256, seed: int = 0):
+    import cv2
+
+    os.makedirs(os.path.join(root, "gt_imgs"), exist_ok=True)
+    os.makedirs(os.path.join(root, "torso_imgs"), exist_ok=True)
+    os.makedirs(os.path.join(root, "ori_imgs"), exist_ok=True)
+
+    focal = H / (2.0 * np.tan(np.radians(21.24) / 2.0))
+    intr = (focal, focal, W / 2.0, H / 2.0)
+
+    # background plate: smooth gradient
+    yy, xx = np.meshgrid(np.arange(H), np.arange(W), indexing="ij")
+    bg = np.stack([0.35 + 0.25 * yy / H, 0.45 - 0.1 * xx / W,
+                   0.55 + 0.1 * yy / H], axis=-1).astype(np.float32)
+    cv2.imwrite(os.path.join(root, "bc.jpg"),
+                (bg[..., ::-1] * 255).astype(np.uint8))
+
+    n = n_train + n_val
+    feats = make_audio_features(n + 2)
+    np.save(os.path.join(root, "aud_eo.npy"), feats)
+
+    rng = np.random.default_rng(seed)
+    frames = []
+    for i in range(n):
+        yaw = 0.10 * np.sin(2 * np.pi * i / 24.0) + rng.normal(0, 0.01)
+        pitch = 0.05 * np.cos(2 * np.pi * i / 17.0) + rng.normal(0, 0.008)
+        pose_ngp = make_pose_ngp(yaw, pitch)
+        mouth = mouth_openness(i, n)
+
+        head_acc, wsum = render_gt(pose_ngp, intr, H, W, mouth)
+        torso = make_torso_plate(H, W, pose6_jitter=yaw)
+        bg_torso = torso[..., :3] * torso[..., 3:] + bg * (1 - torso[..., 3:])
+        img = head_acc + (1 - wsum[..., None]) * bg_torso
+
+        cv2.imwrite(os.path.join(root, "gt_imgs", f"{i}.jpg"),
+                    (np.clip(img[..., ::-1], 0, 1) * 255).astype(np.uint8))
+        t8 = np.clip(torso * 255, 0, 255).astype(np.uint8)
+        cv2.imwrite(os.path.join(root, "torso_imgs", f"{i}.png"),
+                    np.concatenate([t8[..., 2::-1], t8[..., 3:]], axis=-1))
+        np.savetxt(os.path.join(root, "ori_imgs", f"{i}.lms"),
+                   make_landmarks(pose_ngp, intr, H, W))
+        frames.append({
+            "img_id": i, "aud_id": i,
+            "transform_matrix": ngp_pose_to_transform(pose_ngp).tolist(),
+        })
+
+    meta = {"focal_len": focal, "cx": W / 2.0, "cy": H / 2.0}
+    with open(os.path.join(root, "transforms_train.json"), "w") as f:
+        json.dump({**meta, "frames": frames[:n_train]}, f)
+    with open(os.path.join(root, "transforms_val.json"), "w") as f:
+        json.dump({**meta, "frames": frames[n_train:]}, f)
+    return root
+
+
+# ---------------------------------------------------------------------------
+# train + evaluate
+# ---------------------------------------------------------------------------
+
+def run_recipe(root: str, workspace: str, iters: int, torso_iters: int = 0,
+               num_rays: int = 16384, extra=()):
+    """Train via the real CLI (golden path, scripts/train_obama_eo.sh)."""
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(os.path.dirname(os.path.dirname(
+                       os.path.abspath(__file__))), ".jax_cache"))
+    base = [sys.executable, "main.py", root, "-O",
+            "--num_rays", str(num_rays),
+            # scale the reference's 200k-iter EMA cadence down with the
+            # schedule (200k/1000 = 200 updates; 0.95^200 ~= 3e-5 initial
+            # weight) — at iters//20 the EMA kept 36% initial weights and
+            # cost ~14 dB of val PSNR
+            "--ema_update_interval", str(max(1, iters // 200))]
+    cmd = base + ["--workspace", workspace, "--iters", str(iters)] + list(extra)
+    print("[harness] $", " ".join(cmd))
+    subprocess.run(cmd, check=True, env=env,
+                   cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if torso_iters > 0:
+        head_ckpt = os.path.join(workspace, "checkpoints", "ngp.npz")
+        cmd = base + ["--workspace", workspace + "_torso", "--torso",
+                      "--head_ckpt", head_ckpt, "--iters", str(torso_iters)]
+        print("[harness] $", " ".join(cmd))
+        subprocess.run(cmd, check=True, env=env,
+                       cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def evaluate(root: str, workspace: str, torso: bool = False):
+    """PSNR/LPIPS on the val split + audio-sensitivity check."""
+    from radnerf_tpu.config import Options
+    from radnerf_tpu.data import TalkingHeadDataset
+    from radnerf_tpu.data.rays import get_audio_features
+    from radnerf_tpu.train import LPIPSMeter, PSNRMeter, Trainer
+
+    opt = Options(path=root, workspace=workspace, torso=torso)
+    opt.apply_O()
+    ws = workspace + "_torso" if torso else workspace
+    opt.workspace = ws
+    trainer = Trainer("ngp", opt, metrics=[PSNRMeter(), LPIPSMeter()],
+                      workspace=ws, use_checkpoint="best",
+                      use_tensorboard=False)
+    val = TalkingHeadDataset(opt, split="val")
+    val.training = False
+    val.num_rays = -1
+    for m in trainer.metrics:
+        m.clear()
+    for i in range(len(val)):
+        batch = trainer._to_device(val.collate(i))
+        pred, _ = trainer.eval_step(batch)
+        gt = np.asarray(batch["images"]).reshape(
+            pred.shape[0], pred.shape[1], -1)[..., :3]
+        trainer.metrics[0].update(pred, gt)
+        trainer.metrics[1].update(pred, gt)
+    psnr = trainer.metrics[0].measure()
+    lpips = trainer.metrics[1].measure()
+
+    # audio sensitivity: render val frame 0 with its own audio window vs the
+    # val window whose mouth state differs maximally; the image diff must
+    # concentrate in the mouth region (audio drives the mouth — the core
+    # talking-head capability)
+    import jax.numpy as jnp
+
+    with open(os.path.join(root, "transforms_val.json")) as f:
+        val_ids = [fr["aud_id"] for fr in json.load(f)["frames"]]
+    n_total = val_ids[-1] + 1
+    m0 = mouth_openness(val_ids[0], n_total)
+    alt = max(range(len(val_ids)),
+              key=lambda j: abs(mouth_openness(val_ids[j], n_total) - m0))
+
+    batch = trainer._to_device(val.collate(0))
+    base_pred, _ = trainer.eval_step(batch)
+    batch["auds"] = jnp.asarray(get_audio_features(val.auds, opt.att, alt))
+    alt_pred, _ = trainer.eval_step(batch)
+
+    H_img, W_img = base_pred.shape[:2]
+    diff = np.abs(base_pred - alt_pred).mean(-1)
+    # project the mouth center with val frame 0's pose (same camera model
+    # as get_rays: px <-> column i, py <-> row j)
+    pose0 = np.asarray(val.poses[0])
+    fx = fy = float(val.intrinsics[0])
+    cam = (MOUTH_C - pose0[:3, 3]) @ pose0[:3, :3]
+    mc_col = int(cam[0] / cam[2] * fx + W_img / 2)
+    mc_row = int(cam[1] / cam[2] * fy + H_img / 2)
+    r = max(6, int(0.12 * H_img))
+    mouth_rows = slice(max(0, mc_row - r), min(H_img, mc_row + r))
+    mouth_cols = slice(max(0, mc_col - r), min(W_img, mc_col + r))
+    mouth_diff = float(diff[mouth_rows, mouth_cols].mean())
+    # control region: the opposite (far-from-mouth) horizontal band
+    far_rows = (slice(0, max(1, mc_row - 2 * r)) if mc_row > H_img // 2
+                else slice(min(H_img - 1, mc_row + 2 * r), H_img))
+    top_diff = float(diff[far_rows, :].mean())
+    return {
+        "psnr_db": round(psnr, 3),
+        "lpips": round(lpips, 5),
+        "lpips_backend": trainer.metrics[1]._tag().strip(),
+        "audio_mouth_diff": round(mouth_diff, 5),
+        "audio_top_diff": round(top_diff, 5),
+        "audio_sensitivity_ratio": round(mouth_diff / max(top_diff, 1e-6), 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--root", default="/tmp/qh_data")
+    ap.add_argument("--workspace", default="/tmp/qh_ws")
+    ap.add_argument("--iters", type=int, default=3000)
+    ap.add_argument("--torso-iters", type=int, default=0)
+    ap.add_argument("--H", type=int, default=256)
+    ap.add_argument("--n-train", type=int, default=48)
+    ap.add_argument("--n-val", type=int, default=8)
+    ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--skip-data", action="store_true")
+    args = ap.parse_args()
+
+    if not args.skip_data:
+        print(f"[harness] building synthetic dataset at {args.root} ...")
+        make_dataset(args.root, n_train=args.n_train, n_val=args.n_val,
+                     H=args.H, W=args.H)
+    if not args.skip_train:
+        run_recipe(args.root, args.workspace, args.iters,
+                   torso_iters=args.torso_iters)
+
+    results = evaluate(args.root, args.workspace,
+                       torso=args.torso_iters > 0)
+    out = os.path.join(args.workspace, "quality_results.json")
+    os.makedirs(args.workspace, exist_ok=True)
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print("[harness]", json.dumps(results))
+    ok = results["psnr_db"] > 25.0 and results["audio_sensitivity_ratio"] > 3.0
+    print(f"[harness] {'PASS' if ok else 'FAIL'} "
+          f"(PSNR > 25 dB and mouth-localized audio response)")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
