@@ -371,13 +371,29 @@ def _eval_field_compacted(params, net_cfg, march, rays_d, enc_a, ind_code, eye, 
         [packed, jnp.zeros((S, width), packed.dtype)], axis=0
     )
 
-    # slab gather back: lattice[n, s] = packed[base_n + s]. Expressed as S
-    # plain row gathers of N rows each (XLA/TPU lowers slice_sizes gathers
-    # to a per-element path ~25x slower than row gathers).
+    # Return trip lattice[n, s] = packed[base_n + s]: the S needed rows are
+    # CONSECUTIVE buffer rows, and TPU gather cost is per row with width
+    # nearly free up to ~64 B — so pack G consecutive buffer rows into one
+    # wide row (4 x 6 bf16 lanes = 48 B) and fetch S/G rows per ray instead
+    # of S. (A slice_sizes gather would express this directly but lowers to
+    # a per-element path ~25x slower than row gathers.)
+    G_ret = 4 if S % 4 == 0 else (2 if S % 2 == 0 else 1)
     base_c = jnp.clip(base, 0, capacity)
-    back = jnp.stack(
-        [packed[base_c + s] for s in range(S)], axis=1
-    ).astype(jnp.float32)  # [N, S, width]
+    if G_ret > 1:
+        ext = jnp.concatenate(
+            [packed, jnp.zeros((G_ret - 1, width), packed.dtype)], axis=0
+        )
+        n_ext = packed.shape[0]
+        wide = jnp.concatenate(
+            [ext[g: g + n_ext] for g in range(G_ret)], axis=1
+        )  # [capacity + S, G_ret * width]
+        back = jnp.stack(
+            [wide[base_c + s] for s in range(0, S, G_ret)], axis=1
+        ).astype(jnp.float32).reshape(N, S, width)
+    else:
+        back = jnp.stack(
+            [packed[base_c + s] for s in range(S)], axis=1
+        ).astype(jnp.float32)  # [N, S, width]
 
     kept = valid & ((base[:, None] + jnp.arange(S)[None, :]) < capacity)
     back = jnp.where(kept[..., None], back, 0.0)

@@ -285,8 +285,10 @@ def make_dataset(root: str, n_train: int = 48, n_val: int = 8, H: int = 256,
 # ---------------------------------------------------------------------------
 
 def run_recipe(root: str, workspace: str, iters: int, torso_iters: int = 0,
-               num_rays: int = 16384, extra=()):
-    """Train via the real CLI (golden path, scripts/train_obama_eo.sh)."""
+               lips_iters: int = 0, num_rays: int = 16384, extra=()):
+    """Train via the real CLI (golden path, scripts/train_obama_eo.sh):
+    head -> optional lips LPIPS-finetune (same workspace, continued
+    iterations, train_obama_eo.sh stage 2) -> optional torso stage."""
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR",
                    os.path.join(os.path.dirname(os.path.dirname(
@@ -302,6 +304,13 @@ def run_recipe(root: str, workspace: str, iters: int, torso_iters: int = 0,
     print("[harness] $", " ".join(cmd))
     subprocess.run(cmd, check=True, env=env,
                    cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    if lips_iters > 0:
+        cmd = base + ["--workspace", workspace, "--finetune_lips",
+                      "--iters", str(iters + lips_iters)] + list(extra)
+        print("[harness] $", " ".join(cmd))
+        subprocess.run(cmd, check=True, env=env,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
     if torso_iters > 0:
         head_ckpt = os.path.join(workspace, "checkpoints", "ngp.npz")
         cmd = base + ["--workspace", workspace + "_torso", "--torso",
@@ -390,6 +399,7 @@ def main():
     ap.add_argument("--root", default="/tmp/qh_data")
     ap.add_argument("--workspace", default="/tmp/qh_ws")
     ap.add_argument("--iters", type=int, default=3000)
+    ap.add_argument("--lips-iters", type=int, default=0)
     ap.add_argument("--torso-iters", type=int, default=0)
     ap.add_argument("--H", type=int, default=256)
     ap.add_argument("--n-train", type=int, default=48)
@@ -404,7 +414,7 @@ def main():
                      H=args.H, W=args.H)
     if not args.skip_train:
         run_recipe(args.root, args.workspace, args.iters,
-                   torso_iters=args.torso_iters)
+                   torso_iters=args.torso_iters, lips_iters=args.lips_iters)
 
     results = evaluate(args.root, args.workspace,
                        torso=args.torso_iters > 0)
