@@ -11,8 +11,17 @@ Examples (reference recipes, scripts/train_obama_eo.sh):
 
 import argparse
 import dataclasses
+import os
 
 import numpy as np
+
+# Backend override for CPU debugging / hermetic runs: the JAX_PLATFORMS env
+# var is ignored once a site plugin registers (observed with the axon TPU
+# tunnel), but jax.config.update before first backend use is honored.
+if os.environ.get("RADNERF_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["RADNERF_PLATFORM"])
 
 from radnerf_tpu.config import Options
 

@@ -13,6 +13,14 @@ End-to-end example (two weight files make tasks 4 and 8 self-contained):
 """
 
 import argparse
+import os
+
+# backend override for CPU runs (see main.py: JAX_PLATFORMS alone is
+# ignored once a site plugin registers)
+if os.environ.get("RADNERF_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["RADNERF_PLATFORM"])
 
 from radnerf_tpu.preprocess import run_pipeline
 

@@ -40,6 +40,12 @@ import numpy as np
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
+# honor the same backend override as main.py (JAX_PLATFORMS is ignored once
+# the axon plugin registers; jax.config.update before first use is not)
+if os.environ.get("RADNERF_PLATFORM"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["RADNERF_PLATFORM"])
 # the harness's own evaluate() phase compiles the full-frame render graph —
 # reuse the repo compile cache (first compile is 5-15 min otherwise)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
