@@ -467,3 +467,58 @@ def test_sigma_bytes_invariant_no_bare_replace():
         "bare .replace(sigma_bytes=...) found (use with_sigma_bytes): "
         + "; ".join(offenders)
     )
+
+
+@pytest.mark.parametrize("S,cap", [(8, 512), (6, 512), (8, 40)])
+def test_eval_field_compacted_matches_direct(S, cap):
+    """_eval_field_compacted (prefix-sum buffer + wide-row return trip)
+    equals a direct lattice field eval on every kept sample, for both
+    return-row groupings (S=8 -> quad rows, S=6 -> pair rows) and for an
+    undersized capacity (drop semantics: kept == valid & fits)."""
+    from radnerf_tpu.models.network import field_forward
+    from radnerf_tpu.models.renderer import _eval_field_compacted
+
+    net_cfg = NetworkConfig(torso=False, exp_eye=True)
+    params = init_params(jax.random.PRNGKey(3), net_cfg)
+    rng = np.random.default_rng(5)
+    N = 64
+    counts = rng.integers(0, S + 1, N)
+    valid = jnp.arange(S)[None, :] < jnp.asarray(counts)[:, None]
+    xyz = jnp.asarray(rng.uniform(-1, 1, (N, S, 3)).astype(np.float32))
+    xyz = jnp.where(valid[..., None], xyz, 0.0)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    rays_d = jnp.asarray(d)
+    enc_a = jnp.asarray(rng.normal(size=(1, net_cfg.audio_dim)).astype(np.float32))
+    ind = params["individual_codes"][0]
+    eye = jnp.full((1, 1), 0.25, jnp.float32)
+
+    sig, col, amb, kept = _eval_field_compacted(
+        params, net_cfg, {"xyz": xyz, "valid": valid}, rays_d,
+        enc_a, ind, eye, cap,
+    )
+
+    dirs = jnp.broadcast_to(rays_d[:, None, :], xyz.shape)
+    s2, c2, a2 = field_forward(
+        params, net_cfg, xyz.reshape(-1, 3), dirs.reshape(-1, 3), enc_a, ind, eye
+    )
+    s2 = s2.reshape(N, S)
+    c2 = c2.reshape(N, S, 3)
+    a2 = a2.reshape(N, S, -1)
+
+    ends = np.cumsum(counts)
+    base = ends - counts
+    fits = jnp.asarray(base)[:, None] + jnp.arange(S)[None, :] < cap
+    assert bool(jnp.all(kept == (valid & fits)))
+    m = kept
+    atol = 1e-2 if net_cfg.dtype == jnp.bfloat16 else 1e-5
+    np.testing.assert_allclose(
+        np.where(m, np.asarray(sig), 0), np.where(m, np.asarray(s2), 0), atol=atol)
+    np.testing.assert_allclose(
+        np.where(m[..., None], np.asarray(col), 0),
+        np.where(m[..., None], np.asarray(c2), 0), atol=atol)
+    np.testing.assert_allclose(
+        np.where(m[..., None], np.asarray(amb), 0),
+        np.where(m[..., None], np.asarray(a2), 0), atol=atol)
+    # dropped/invalid slots return zeros
+    assert float(jnp.max(jnp.abs(jnp.where(m, 0.0, sig)))) == 0.0
