@@ -1,0 +1,37 @@
+#!/bin/bash
+# Sequential TPU measurement queue for round 3 (one TPU process at a time).
+# Run when the tunnel is up:  bash scripts/tpu_queue.sh [stage...]
+# Stages default to: bench profile quality
+# Logs land in /tmp/r3_<stage>.{out,err}; bench JSON also echoed at the end.
+set -u
+cd "$(dirname "$0")/.."
+export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
+
+run() {
+  local name="$1"; shift
+  local t="$1"; shift
+  echo "=== [$name] $(date): $*"
+  timeout "$t" "$@" > "/tmp/r3_${name}.out" 2> "/tmp/r3_${name}.err"
+  local rc=$?
+  echo "=== [$name] exit=$rc $(date)"
+  tail -3 "/tmp/r3_${name}.out"
+  return $rc
+}
+
+for stage in "${@:-bench profile quality}"; do
+ for s in $stage; do
+  case "$s" in
+    bench)   run bench   3600 python bench.py ;;
+    profile) run profile 3600 python scripts/profile_frame.py ;;
+    gather)  run gather  2400 python scripts/bench_gather.py ;;
+    group)   run group   3600 python scripts/bench_march_group.py ;;
+    train)   run train   3600 python scripts/bench_train.py ;;
+    quality) run quality 14400 python scripts/quality_harness.py \
+               --root /tmp/qh_data --workspace /tmp/qh_ws \
+               --iters 3000 --lips-iters 500 --torso-iters 1500 ;;
+    *) echo "unknown stage $s" ;;
+  esac
+ done
+done
+echo "=== queue done $(date)"
+[ -f /tmp/r3_bench.out ] && grep -h '"metric"' /tmp/r3_bench.out | tail -1
