@@ -130,6 +130,17 @@ def main():
         print(f"{dur / n:10.0f} us/frame  {name}")
     print(f"\ntotal device op time: {total / n / 1e3:.2f} ms/frame over {n} frames")
 
+    # gather share: the round-3 "earned ceiling" criterion is a frame where
+    # the irreducible row gathers dominate (VERDICT r2 #1). Count every op
+    # whose name or HLO metadata marks it as a gather/take.
+    gather = sum(
+        dur for name, dur in by_op.items()
+        if "gather" in name.lower() or "gather" in op_meta.get(name, "").lower()
+    )
+    if total > 0:
+        print(f"gather ops: {gather / n / 1e3:.2f} ms/frame "
+              f"({100.0 * gather / total:.1f}% of device op time)")
+
 
 if __name__ == "__main__":
     main()
