@@ -71,7 +71,9 @@ def scene_sigma_color(x: np.ndarray, mouth: float):
     """Density + color at points x [..., 3] (NGP world coords)."""
     q = (x - HEAD_C) / HEAD_R
     d2 = np.sum(q * q, axis=-1)
-    sig = 60.0 / (1.0 + np.exp(-(1.0 - d2) * 10.0))
+    # clip the logit: exp saturates identically beyond +-60 in float64 and
+    # the unclipped form emits overflow RuntimeWarnings for far-away points
+    sig = 60.0 / (1.0 + np.exp(np.clip(-(1.0 - d2) * 10.0, -60.0, 60.0)))
 
     col = 0.55 + 0.35 * np.stack(
         [np.sin(3.0 * x[..., 0]),
