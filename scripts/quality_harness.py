@@ -407,6 +407,7 @@ def main():
     ap.add_argument("--root", default="/tmp/qh_data")
     ap.add_argument("--workspace", default="/tmp/qh_ws")
     ap.add_argument("--iters", type=int, default=3000)
+    ap.add_argument("--num-rays", type=int, default=16384)
     ap.add_argument("--lips-iters", type=int, default=0)
     ap.add_argument("--torso-iters", type=int, default=0)
     ap.add_argument("--H", type=int, default=256)
@@ -422,7 +423,8 @@ def main():
                      H=args.H, W=args.H)
     if not args.skip_train:
         run_recipe(args.root, args.workspace, args.iters,
-                   torso_iters=args.torso_iters, lips_iters=args.lips_iters)
+                   torso_iters=args.torso_iters, lips_iters=args.lips_iters,
+                   num_rays=args.num_rays)
 
     results = evaluate(args.root, args.workspace,
                        torso=args.torso_iters > 0)
