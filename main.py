@@ -40,7 +40,7 @@ def build_parser():
     # 1000 steps (nerf/utils.py:578), sized for 200k-iter runs; short
     # (reduced-iteration) recipes need a proportionally shorter interval
     # or eval renders near-initial weights (quality_harness.py passes
-    # iters // 20).
+    # iters // 200, preserving the reference's ~200-update count).
     p.add_argument("--ema_update_interval", type=int, default=1000)
     p.add_argument("--lr", type=float, default=5e-3)
     p.add_argument("--lr_net", type=float, default=5e-4)
@@ -171,7 +171,13 @@ def main():
     assert len(train_ds) < opt.ind_num, (
         f"dataset has {len(train_ds)} frames, increase --ind_num"
     )
-    eval_interval = max(1, int(5000 / len(train_ds)))
+    # Clamp the eval cadence to the schedule so the FINAL epoch always
+    # evaluates and writes the 'best' checkpoint (ngp.npz): at short
+    # schedules (quality harness) int(5000/len) exceeds max_epoch and the
+    # best checkpoint — which the torso stage's --head_ckpt and the eval
+    # harness's use_checkpoint='best' both point at — would never exist.
+    max_epoch = int(np.ceil(opt.iters / len(train_ds)))
+    eval_interval = max(1, min(int(5000 / len(train_ds)), max_epoch))
     trainer = Trainer("ngp", opt, metrics=[PSNRMeter(), LPIPSMeter(weights_path=opt.lpips_weights)],
                       workspace=opt.workspace, ema_decay=0.95,
                       ema_update_interval=opt.ema_update_interval,
@@ -189,7 +195,6 @@ def main():
         return
 
     valid_ds = TalkingHeadDataset(opt, split="val")
-    max_epoch = int(np.ceil(opt.iters / len(train_ds)))
     print(f"[INFO] max_epoch = {max_epoch}")
     trainer.train(train_ds, valid_ds, max_epoch)
 

@@ -124,6 +124,7 @@ class InteractiveApp:
         self.spp = 1
         self.need_update = True
         self.render_buffer = None
+        self._last_view_sig = None
 
     # -- camera controls (invalidate the accumulation buffer) ---------------
     def orbit(self, dx: float, dy: float):
@@ -176,6 +177,18 @@ class InteractiveApp:
         # accumulating perturbed renders up to max_spp (gui.py:160-218)
         if self.training or self.playing:
             self.need_update = True
+        # every non-camera view control must invalidate the accumulation
+        # buffer too (the reference sets need_update=True in each GUI
+        # setter, gui.py:226-320; here the controls are plain attributes,
+        # so detect changes by signature): otherwise switching mode mid-
+        # accumulation averages depth frames INTO the rgb buffer, and a
+        # saturated buffer ignores audio_idx/eye/ind changes forever.
+        view_sig = (self.mode, self.audio_idx, self.eye_area,
+                    self.ind_index, self.downscale, id(self.bg_color))
+        if view_sig != self._last_view_sig:
+            if self._last_view_sig is not None:
+                self.need_update = True
+            self._last_view_sig = view_sig
         if not (self.need_update or self.spp < self.max_spp):
             return np.clip(np.asarray(self.render_buffer), 0.0, 1.0)
 

@@ -58,7 +58,8 @@ def _encode(x, embeddings, spec: GridSpec, bound: float, table_dtype=None,
     """Grid encode via the corner-packed fast path (one gather row per
     point-level, per-level VMEM-sized tables) for tiled grids; plain
     per-corner gathers otherwise. ``table_dtype=bfloat16`` halves row bytes
-    (the fp16-AMP analogue; interpolation stays fp32).
+    and runs the lerp end-to-end in bf16 (the fp16-AMP analogue; weights
+    still derive from fp32 positions).
 
     ``packed`` short-circuits the in-graph table packing with tables built
     once by :func:`precompute_packed_tables` — at inference the embeddings

@@ -252,9 +252,11 @@ def build_packed_table(
       ~1.8x faster than one monolithic 58 MB table (it stays VMEM-resident).
       Hence one packed array PER LEVEL (each <=4 MB for the shipped config)
       instead of a single concatenated table.
-    - ``dtype=bfloat16`` halves the row bytes again (interpolation still
-      runs in fp32 after the fetch) — the analogue of the reference running
-      its grid encoders under fp16 AMP (-O bundle, main.py:111-113).
+    - ``dtype=bfloat16`` halves the row bytes again and interpolation then
+      runs END-TO-END in bf16 (the consumer MLPs are bf16 anyway; f32 lerp
+      of bf16-quantized corners only doubled bandwidth) — the analogue of
+      the reference running its grid encoders under fp16 AMP (-O bundle,
+      main.py:111-113).
 
     Rolls/casts are cheap, bandwidth-bound, and differentiable, so packing
     is rebuilt inside the train step and gradients flow back to the
@@ -295,8 +297,9 @@ def grid_encode01_packed(
 
     Numerically identical to grid_encode01 for tiled grids when the tables
     are fp32 (same fp32 position math, same index rule, same OOB-to-zero
-    behavior); bf16 tables quantize only the stored corner values —
-    interpolation still runs in fp32.
+    behavior); bf16 tables quantize the stored corner values AND the lerp
+    itself runs in bf16 (bf16 weights x bf16 corners, bf16 output) — the
+    trilinear weights are still computed from fp32 positions.
     """
     D = spec.input_dim
     C = spec.level_dim

@@ -118,21 +118,6 @@ class Trainer:
         self.flip_finetune_lips = opt.finetune_lips
         self.time_stamp = time.strftime("%Y-%m-%d_%H-%M-%S")
 
-        if self.render_cfg.march_group:
-            # the train-step telemetry stack carries only
-            # n_hit/n_samples_needed/n_max_count/n_k_span — an undersized
-            # march_group buffer would silently drop groups with no
-            # adaptation (the exact bug class _adapt_capacities exists to
-            # kill). The grouped marcher is an inference-side experiment
-            # (measured net-neutral, PERFORMANCE.md); reject it for
-            # training rather than drop work silently.
-            raise ValueError(
-                "march_group=True is not supported for training: group "
-                "overflow telemetry is not wired into capacity adaptation. "
-                "Train with the dense marcher and enable march_group for "
-                "inference only."
-            )
-
         self.key = jax.random.PRNGKey(opt.seed)
         self.params = params if params is not None else init_params(
             self._next_key(), self.net_cfg
@@ -205,6 +190,7 @@ class Trainer:
         self._train_step_fn = {}
         self._render_fn = {}
         self._packed_cache = None
+        self._cap_restored = False
 
         if self.workspace and params is None:
             self._restore(use_checkpoint)
@@ -252,6 +238,21 @@ class Trainer:
     def _get_train_step(self, shape_sig):
         if shape_sig in self._train_step_fn:
             return self._train_step_fn[shape_sig]
+
+        if self.render_cfg.march_group:
+            # the train-step telemetry stack carries only
+            # n_hit/n_samples_needed/n_max_count/n_k_span — an undersized
+            # march_group buffer would silently drop groups with no
+            # adaptation (the exact bug class _adapt_capacities exists to
+            # kill). The grouped marcher is an inference-side experiment
+            # (measured net-neutral, PERFORMANCE.md); reject it for the
+            # TRAINING path only (inference Trainers may enable it).
+            raise ValueError(
+                "march_group=True is not supported for training: group "
+                "overflow telemetry is not wired into capacity adaptation. "
+                "Train with the dense marcher and enable march_group for "
+                "inference only."
+            )
 
         net_cfg, rc = self.net_cfg, self.render_cfg
         opt = self.opt
@@ -926,6 +927,13 @@ class Trainer:
             return
         params, state, ema, opt_flat, meta = ckpt_lib.load_checkpoint(path)
         cap = meta.get("render_cfg")
+        # model_only loads (freeze_loaded_head, 'latest_model') adopt the
+        # checkpoint's trained capacities only when this trainer has none of
+        # its own yet: a resumed torso trainer has already restored its OWN
+        # adapted capacities (incl. torso_capacity_frac) from its workspace
+        # checkpoint, and the head checkpoint's must not clobber them.
+        if cap and model_only and self._cap_restored:
+            cap = None
         if cap:
             import dataclasses
 
@@ -940,6 +948,7 @@ class Trainer:
                 f"K={self.render_cfg.march_iters} "
                 f"slots={self.render_cfg.sample_slots})"
             )
+            self._cap_restored = True
         if params is not None:
             self.params, _ = ckpt_lib.merge_imported(self.params, params)
         if state is not None:

@@ -157,6 +157,20 @@ def test_interactive_app_spp_accumulation():
     assert app.need_update
     app.render_frame()
     assert app.spp == 1 and calls == [1, 1, 2, 1]
+    # non-camera view controls invalidate too (reference sets
+    # need_update=True in every GUI setter, gui.py:226-320): switching mode
+    # mid-accumulation must not average depth frames into the rgb buffer,
+    # and a saturated buffer must not ignore control changes forever
+    app.render_frame()
+    app.render_frame()
+    assert app.spp == 3 and calls == [1, 1, 2, 1, 1, 2]  # saturated again
+    app.mode = "depth"
+    f_depth = app.render_frame()
+    assert app.spp == 1 and calls[-1] == 1  # fresh frame, no rgb/depth mix
+    np.testing.assert_allclose(f_depth, 0.0)  # pure depth, not averaged
+    app.ind_index = 1
+    app.render_frame()
+    assert app.spp == 1  # saturum reset by the control change
 
 
 def test_unfold_features():

@@ -68,7 +68,7 @@ def test_quality_harness_trains_and_measures(qh_data, tmp_path):
 
     # ema_update_interval must be << iters or eval renders near-initial
     # EMA weights (the reference's hardcoded 1000-step cadence is sized
-    # for 200k-iter runs; quality_harness passes iters // 20)
+    # for 200k-iter runs; quality_harness passes iters // 200)
     tr = Trainer("ngp", opt, render_cfg=rc, workspace=ws,
                  metrics=[PSNRMeter()], ema_decay=0.95,
                  ema_update_interval=5,

@@ -660,16 +660,19 @@ def test_adaptive_capacities(data_dir, tmp_path):
     assert tr.render_cfg.sample_capacity_mult * R >= 128
 
 
-def test_trainer_rejects_march_group(data_dir, tmp_path):
+def test_trainer_rejects_march_group_for_training(data_dir, tmp_path):
     """march_group has no train-path overflow telemetry (the stats stack
     carries only n_hit/n_samples_needed/n_max_count/n_k_span), so an
     undersized group buffer would silently drop work during training —
-    the Trainer must refuse it loudly."""
+    the TRAIN path must refuse it loudly. Construction must still succeed:
+    inference drivers (infer.py, --test, the eval harness) build a Trainer
+    too, and the grouped marcher is an inference-side option."""
     opt = _opts(data_dir, str(tmp_path))
     rc = RenderConfig(torso=False, exp_eye=True, march_group=True, **TINY_RC)
+    tr = Trainer("ngp", opt, render_cfg=rc, workspace=str(tmp_path),
+                 use_tensorboard=False, mute=True, use_checkpoint="scratch")
     with pytest.raises(ValueError, match="march_group"):
-        Trainer("ngp", opt, render_cfg=rc, workspace=str(tmp_path),
-                use_tensorboard=False, mute=True, use_checkpoint="scratch")
+        tr._get_train_step(("image", None))
 
 
 def test_checkpoint_persists_render_capacities(data_dir, tmp_path):
@@ -699,6 +702,35 @@ def test_checkpoint_persists_render_capacities(data_dir, tmp_path):
     assert tr2.render_cfg.sample_slots == 16
     # non-capacity fields still come from the constructor config
     assert tr2.render_cfg.grid_size == rc.grid_size
+
+    # model_only loads (freeze_loaded_head) must NOT clobber capacities a
+    # trainer already restored from its OWN checkpoint: a resumed torso
+    # trainer carries its adapted torso_capacity_frac, and the head
+    # checkpoint's stale value would silently drop torso work on resume.
+    head_ws = tmp_path / "ws_head"
+    opt_h = _opts(data_dir, str(head_ws))
+    tr_h = Trainer("ngp", opt_h, render_cfg=rc, workspace=str(head_ws),
+                   use_tensorboard=False, mute=True, use_checkpoint="scratch")
+    tr_h.epoch = 1
+    tr_h.save_checkpoint(full=False)  # default torso_capacity_frac in meta
+    head_ckpt = tr_h.stats["checkpoints"][-1]
+
+    tr3 = Trainer("ngp", opt, render_cfg=rc, workspace=str(tmp_path / "ws_c"),
+                  use_tensorboard=False, mute=True, use_checkpoint="latest")
+    assert tr3._cap_restored
+    tr3.freeze_loaded_head(head_ckpt)
+    assert tr3.render_cfg.sample_capacity_mult == 18.0  # not clobbered
+
+    # ... but a FRESH torso trainer (no checkpoint of its own) does adopt
+    # the head checkpoint's trained capacities
+    tr4 = Trainer("ngp", opt_h, render_cfg=rc,
+                  workspace=str(tmp_path / "ws_fresh"),
+                  use_tensorboard=False, mute=True, use_checkpoint="scratch")
+    tr4.freeze_loaded_head(
+        os.path.join(str(tmp_path / "ws_c"), "checkpoints",
+                     os.path.basename(tr.stats["checkpoints"][-1]))
+    )
+    assert tr4.render_cfg.sample_capacity_mult == 18.0
 
 
 def test_lpips_weights_file(tmp_path):
