@@ -125,6 +125,9 @@ class InteractiveApp:
         self.need_update = True
         self.render_buffer = None
         self._last_view_sig = None
+        # bumped by setters that mutate view state in place (set_bg_color);
+        # id() alone misses in-place mutation of a kept buffer (ADVICE r3)
+        self._view_version = 0
 
     # -- camera controls (invalidate the accumulation buffer) ---------------
     def orbit(self, dx: float, dy: float):
@@ -138,6 +141,16 @@ class InteractiveApp:
     def pan(self, dx: float, dy: float, dz: float = 0.0):
         self.cam.pan(dx, dy, dz)
         self.need_update = True
+
+    def set_bg_color(self, bg: np.ndarray):
+        """Replace (or re-use, mutated in place) the background buffer.
+
+        Use this instead of writing into self.bg_color directly: in-place
+        mutation keeps id() stable, so only the version bump invalidates a
+        saturated spp accumulation buffer.
+        """
+        self.bg_color = np.asarray(bg, np.float32).reshape(-1, 3)
+        self._view_version += 1
 
     # -- one tick of the reference render loop (gui.py:553-565) ------------
     def step(self) -> np.ndarray:
@@ -184,7 +197,8 @@ class InteractiveApp:
         # accumulation averages depth frames INTO the rgb buffer, and a
         # saturated buffer ignores audio_idx/eye/ind changes forever.
         view_sig = (self.mode, self.audio_idx, self.eye_area,
-                    self.ind_index, self.downscale, id(self.bg_color))
+                    self.ind_index, self.downscale, id(self.bg_color),
+                    self._view_version)
         if view_sig != self._last_view_sig:
             if self._last_view_sig is not None:
                 self.need_update = True
@@ -199,7 +213,16 @@ class InteractiveApp:
             spp=1 if self.need_update else self.spp,
             downscale=self.downscale,
         )
-        img = out["depth"][..., None].repeat(3, -1) if self.mode == "depth" else out["image"]
+        if self.mode == "depth":
+            # raw depth is world-unit (~3-4 at the working distance): a bare
+            # clip(0,1) saturates white, and saturated frames would then be
+            # averaged into the spp buffer (ADVICE r3). Normalize per frame,
+            # same treatment as the Trainer's saved depth PNGs.
+            from ..train.trainer import Trainer
+
+            img = Trainer._normalize_depth(out["depth"])[..., None].repeat(3, -1)
+        else:
+            img = out["image"]
         img = np.asarray(img, np.float32)
         if self.need_update:
             self.render_buffer = img

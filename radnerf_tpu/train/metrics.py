@@ -243,6 +243,14 @@ class LMDMeter:
             # face_alignment >= 1.4.
             lm_type = getattr(face_alignment.LandmarksType, "TWO_D",
                               getattr(face_alignment.LandmarksType, "_2D", None))
+            if lm_type is None:
+                # another enum rename: fail through the ImportError path so
+                # main.py's optional-metric gating skips LMD cleanly instead
+                # of FaceAlignment(None) erroring opaquely downstream
+                raise ImportError(
+                    "face_alignment.LandmarksType exposes neither TWO_D nor "
+                    "_2D; unsupported face_alignment version for LMDMeter"
+                )
             self.predictor = face_alignment.FaceAlignment(
                 lm_type, flip_input=False)
         self.clear()

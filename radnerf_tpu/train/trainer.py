@@ -107,6 +107,18 @@ class Trainer:
         self.opt = opt
         self.net_cfg = net_cfg or NetworkConfig.from_options(opt)
         self.render_cfg = render_cfg or RenderConfig.from_options(opt)
+        # Capacity fields the constructor/CLI explicitly overrode (differ
+        # from the dataclass defaults). load_checkpoint restores trained
+        # capacities from checkpoint meta; a deliberate override (e.g. the
+        # exhaustive debug config frac=1.0/cull_T=0/mult=16) must win over
+        # the checkpoint's adapted values, not be silently clobbered.
+        _cap_defaults = RenderConfig()
+        self._user_cap_fields = {
+            f for f in ("ray_capacity_frac", "sample_capacity_mult",
+                        "march_iters", "sample_slots", "torso_capacity_frac",
+                        "march_group_mult", "march_group_slots")
+            if getattr(self.render_cfg, f) != getattr(_cap_defaults, f)
+        }
         self.metrics = list(metrics)
         self.workspace = workspace or opt.workspace
         self.ema_decay = ema_decay
@@ -934,6 +946,20 @@ class Trainer:
         # checkpoint, and the head checkpoint's must not clobber them.
         if cap and model_only and self._cap_restored:
             cap = None
+        if cap and self._user_cap_fields:
+            # never clobber capacities the user explicitly set (ADVICE r3):
+            # drop those fields from the restore and say so loudly.
+            kept = {k: v for k, v in cap.items()
+                    if k not in self._user_cap_fields}
+            skipped = {k: cap[k] for k in cap if k in self._user_cap_fields}
+            if skipped:
+                self.log(
+                    "[WARN] checkpoint carries trained render capacities "
+                    f"{skipped} but these fields were explicitly set at "
+                    "construction — keeping the constructor values "
+                    f"({ {k: getattr(self.render_cfg, k) for k in skipped} })."
+                )
+            cap = kept
         if cap:
             import dataclasses
 

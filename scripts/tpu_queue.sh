@@ -1,8 +1,9 @@
 #!/bin/bash
-# Sequential TPU measurement queue for round 3 (one TPU process at a time).
+# Sequential TPU measurement queue (one TPU process at a time).
 # Run when the tunnel is up:  bash scripts/tpu_queue.sh [stage...]
 # Stages default to: bench profile quality
-# Logs land in /tmp/r3_<stage>.{out,err}; bench JSON also echoed at the end.
+# Logs land in /tmp/r4_<stage>.{out,err}; bench JSON also echoed at the end.
+# Quality evidence is copied into artifacts/quality/ (checked in).
 set -u
 cd "$(dirname "$0")/.."
 export JAX_COMPILATION_CACHE_DIR="$PWD/.jax_cache"
@@ -11,10 +12,10 @@ run() {
   local name="$1"; shift
   local t="$1"; shift
   echo "=== [$name] $(date): $*"
-  timeout "$t" "$@" > "/tmp/r3_${name}.out" 2> "/tmp/r3_${name}.err"
+  timeout "$t" "$@" > "/tmp/r4_${name}.out" 2> "/tmp/r4_${name}.err"
   local rc=$?
   echo "=== [$name] exit=$rc $(date)"
-  tail -3 "/tmp/r3_${name}.out"
+  tail -3 "/tmp/r4_${name}.out"
   return $rc
 }
 
@@ -28,10 +29,11 @@ for stage in "${@:-bench profile quality}"; do
     train)   run train   3600 python scripts/bench_train.py ;;
     quality) run quality 14400 python scripts/quality_harness.py \
                --root /tmp/qh_data --workspace /tmp/qh_ws \
-               --iters 3000 --lips-iters 500 --torso-iters 1500 ;;
+               --iters 3000 --lips-iters 500 --torso-iters 1500 \
+               --artifacts artifacts/quality ;;
     *) echo "unknown stage $s" ;;
   esac
  done
 done
 echo "=== queue done $(date)"
-[ -f /tmp/r3_bench.out ] && grep -h '"metric"' /tmp/r3_bench.out | tail -1
+[ -f /tmp/r4_bench.out ] && grep -h '"metric"' /tmp/r4_bench.out | tail -1

@@ -1,7 +1,9 @@
 """Smoke test for the end-to-end quality harness (scripts/quality_harness.py).
 
-The full harness (256^2, 3k+ iters, via the main.py CLI) runs on TPU and
-reports PSNR/LPIPS numbers in README; this CI version runs the same dataset
+The full harness (256^2, 3k+ iters, via the main.py CLI) runs on TPU via
+scripts/tpu_queue.sh and checks its PSNR/LPIPS evidence into
+artifacts/quality/ (quality_results.json + val PNGs, summarized in README
+once a real-scale run has landed); this CI version runs the same dataset
 generator + training + metric path at tiny sizes on CPU and asserts the
 mechanics: the synthetic dataset is loadable in the reference format,
 training reduces loss / raises PSNR above an untrained render, and the
