@@ -169,10 +169,10 @@ class RendererState:
     # re-packing in-frame cost 1.9 ms/frame (PERFORMANCE.md). NEVER set
     # sigma_bytes with a bare .replace() — use with_sigma_bytes() so the
     # two stay in sync.
-    sigma_rows: jax.Array  # [cascade*H^3/32, 8] uint32 row view
+    sigma_rows: jax.Array  # [cascade*H^3/4, 4] uint8 row view
     # derived: build_coarse_rows(sigma_bytes) — 4^3-supercell dilated-occ /
     # eroded-min byte field for two-level marching (same invariant)
-    coarse_rows: jax.Array  # [cascade*(H/4)^3/32, 8] uint32
+    coarse_rows: jax.Array  # [cascade*(H/4)^3/4, 4] uint8
 
     MARCH_GROUP = 4  # fine steps per coarse supercell group
 
@@ -209,10 +209,10 @@ class RendererState:
             occ_bbox=jnp.asarray([-b, -b, -b, b, b, b], jnp.float32),
             occ_sphere=jnp.asarray([0.0, 0.0, 0.0, b * SQRT3], jnp.float32),
             sigma_bytes=jnp.zeros((cas * H**3,), jnp.uint8),
-            sigma_rows=jnp.zeros((cas * H**3 // 32, 8), jnp.uint32),
+            sigma_rows=jnp.zeros((cas * H**3 // 4, 4), jnp.uint8),
             coarse_rows=jnp.zeros(
-                (cas * (H // RendererState.MARCH_GROUP) ** 3 // 32, 8),
-                jnp.uint32,
+                (cas * (H // RendererState.MARCH_GROUP) ** 3 // 4, 4),
+                jnp.uint8,
             ),
         )
 

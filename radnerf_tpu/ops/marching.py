@@ -246,17 +246,21 @@ def _dequant_sigma(q: jnp.ndarray) -> jnp.ndarray:
 
 
 def pack_sigma_byte_rows(sigma_bytes: jnp.ndarray) -> jnp.ndarray:
-    """uint8 byte field [cas*H^3] -> uint32 row view [cas*H^3/32, 8]
-    (one row = 32 Morton-consecutive cells, little-endian bytes).
+    """uint8 byte field [cas*H^3] -> uint8 row view [cas*H^3/4, 4]
+    (one row = 4 Morton-consecutive cells; a pure reshape — free).
 
-    Measured on v5e: 32-byte u32[8] rows gather ~3x FASTER than narrow
-    u32[2] rows (8.9 ms vs 33.9 ms/frame for the same lookups), and the
-    shift-based pack lowers better than a u8->u32 bitcast (1.9 ms vs
-    7.5 ms) — do not narrow this layout (PERFORMANCE.md).
+    Round-4 measured (scripts/bench_march_extract.py, 4.9M lookups, v5e):
+    u8[4] rows + 2-level lane select = 14.0 ms vs the round-2/3 u32[8]
+    rows + 3-level select = 19.4 ms. The u32 gather's padded-lane output
+    ({1,0:T(8,128)}: 4 B/lane over 8 of 128 lanes) materializes 2.5 GB and
+    XLA then relayouts it through a copy + 8-step while-loop transpose
+    (~10 ms of churn at frame scale); u8 output pads at 1 B/lane (629 MB)
+    and skips the final byte shift. u8[32]/u8[8] measure 14.9/14.8 ms,
+    u8[16] oddly 19.6, u8[2]'s remote compile never returns. The u32-era
+    numbers (u32[2] 126 ms, one-hot lane sum 18.5 ms) are recorded in
+    PERFORMANCE.md — re-run the A/B before changing this layout again.
     """
-    b = sigma_bytes.reshape(-1, 8, 4).astype(jnp.uint32)
-    shifts = jnp.arange(4, dtype=jnp.uint32) * 8
-    return jnp.sum(b << shifts[None, None, :], axis=-1, dtype=jnp.uint32)
+    return sigma_bytes.reshape(-1, 4)
 
 
 def sigma_byte_lookup(
@@ -264,8 +268,8 @@ def sigma_byte_lookup(
 ):
     """Fetch (occupied, sigma_lower_bound) for points xyz [..., 3].
 
-    sigma_rows: uint32 [cas*H^3/32, 8] from pack_sigma_byte_rows. One wide
-    row gather per point; byte extraction is dense VPU math.
+    sigma_rows: uint8 [cas*H^3/4, 4] from pack_sigma_byte_rows. One row
+    gather per point; byte extraction is a 2-level dense lane select.
     """
     H = cfg.grid_size
     if cfg.cascade == 1:
@@ -279,18 +283,14 @@ def sigma_byte_lookup(
     ).astype(jnp.int32)
     cell = level * (H * H * H) + morton3d(nxyz)
 
-    row = jnp.take(sigma_rows, cell >> 5, axis=0)  # [..., 8] uint32 = 32 cells
-    # 3-level binary select of the word (7 selects). Measured alternatives
-    # at bench scale (9.2M lookups, PERFORMANCE.md): this path costs
-    # 16.6 ms gather + 6.9 ms relayout copy + ~1 ms selects = 24.4 ms; an
-    # 8-way one-hot masked-sum extraction avoids the copy but its lane
-    # reduce costs 12.2 ms (net 28.8); flat width-1 u32 fetches 66 ms;
-    # u32[4]/u32[2] rows 32/126 ms. This layout+select combination is the
-    # measured optimum — do not "fix" the relayout copy without re-timing.
-    half = jnp.where((cell[..., None] & 16) > 0, row[..., 4:8], row[..., 0:4])
-    quad = jnp.where((cell[..., None] & 8) > 0, half[..., 2:4], half[..., 0:2])
-    word = jnp.where((cell & 4) > 0, quad[..., 1], quad[..., 0])
-    byte = (word >> ((cell & 3).astype(jnp.uint32) * 8)) & 255
+    row = jnp.take(sigma_rows, cell >> 2, axis=0)  # [..., 4] uint8 = 4 cells
+    # 2-level binary lane select of the byte. Measured optimum at 4.9M
+    # frame-scale lookups (scripts/bench_march_extract.py, see
+    # pack_sigma_byte_rows docstring) — re-time before changing.
+    pair = jnp.where((cell[..., None] & 2) > 0, row[..., 2:4], row[..., 0:2])
+    byte = jnp.where(
+        (cell & 1) > 0, pair[..., 1], pair[..., 0]
+    ).astype(jnp.uint32)
     occ = (byte & 128) > 0
     sigma_lo = _dequant_sigma(byte & 127)
     return occ, sigma_lo

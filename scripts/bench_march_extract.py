@@ -1,0 +1,175 @@
+#!/usr/bin/env python
+"""A/B the march sigma-byte extraction (ops/marching.py:sigma_byte_lookup)
+at the CURRENT bench scale.
+
+Round-4 motivation: the frame profile (13.67 FPS) shows the [4.9M, 8] u32
+row gather itself at 8.9 ms (the ~2 cyc/row wall) but ~10.3 ms of layout
+churn around it — XLA lowers the select tree's relayout as
+copy{1,0->0,1} + an 8-iteration while/dynamic-update-slice transpose +
+reshape (copy.2437 3.6 ms, while.1 2.7 ms, ds_reduce 1.7 ms, DUS 1.0 ms,
+reshape.2010 1.3 ms). Round 2 measured the same extraction at one 6.9 ms
+copy for 9.2M rows; per-row the layout cost DOUBLED. These variants try to
+hand XLA an HLO shape that skips the churn.
+
+Run (one TPU process at a time):
+    python scripts/bench_march_extract.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"),
+)
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TUNNEL_MS = 27.0
+N, K = 163840, 30  # bench-sized: rays x march iters
+ROWS = 65536       # cascade * 128^3 / 32
+
+
+def _dequant(code):
+    return jnp.exp2(code.astype(jnp.float32) * (14.0 / 127.0) - 7.0) - 2.0**-7
+
+
+def timed_ms(fn, *args, reps=20):
+    out = fn(*args)
+    float(jnp.sum(out[1][:64]))  # warm + sync (block_until_ready lies here)
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(*args)
+    float(jnp.sum(out[1][:64]))
+    return (time.time() - t0) * 1e3 / reps - TUNNEL_MS / reps
+
+
+# --- variants: (sigma_rows [ROWS, 8] u32, cell [N, K] i32) -> (occ, sig_lo)
+
+def v_current(sigma_rows, cell):
+    """Shipped path: row take + lane-slice select tree."""
+    row = jnp.take(sigma_rows, cell >> 5, axis=0)  # [N, K, 8]
+    half = jnp.where((cell[..., None] & 16) > 0, row[..., 4:8], row[..., 0:4])
+    quad = jnp.where((cell[..., None] & 8) > 0, half[..., 2:4], half[..., 0:2])
+    word = jnp.where((cell & 4) > 0, quad[..., 1], quad[..., 0])
+    byte = (word >> ((cell & 3).astype(jnp.uint32) * 8)) & 255
+    return (byte & 128) > 0, _dequant(byte & 127)
+
+
+def v_transpose_first(sigma_rows, cell):
+    """Explicit transpose to [8, N, K] BEFORE the select tree: selects then
+    slice the MAJOR dim (full lanes), one materialized transpose."""
+    row = jnp.take(sigma_rows, cell >> 5, axis=0)  # [N, K, 8]
+    rowT = jnp.moveaxis(row, -1, 0)  # [8, N, K]
+    m16 = (cell & 16) > 0
+    m8 = (cell & 8) > 0
+    m4 = (cell & 4) > 0
+    half = jnp.where(m16[None], rowT[4:8], rowT[0:4])
+    quad = jnp.where(m8[None], half[2:4], half[0:2])
+    word = jnp.where(m4, quad[1], quad[0])
+    byte = (word >> ((cell & 3).astype(jnp.uint32) * 8)) & 255
+    return (byte & 128) > 0, _dequant(byte & 127)
+
+
+def v_onehot_sum(sigma_rows, cell):
+    """Masked lane sum instead of the select tree (kills the relayout; its
+    lane reduce cost 12.2 ms at 9.2M rows in round 2 — re-time at 4.9M)."""
+    row = jnp.take(sigma_rows, cell >> 5, axis=0)  # [N, K, 8]
+    lane = ((cell >> 2) & 7)[..., None] == jnp.arange(8, dtype=jnp.int32)
+    word = jnp.sum(jnp.where(lane, row, jnp.uint32(0)), axis=-1)
+    byte = (word >> ((cell & 3).astype(jnp.uint32) * 8)) & 255
+    return (byte & 128) > 0, _dequant(byte & 127)
+
+
+def v_flat(sigma_rows, cell):
+    """Shipped select tree but on FLAT [N*K] shapes (the [N, K] consumer
+    shape may be what forces the while-loop transpose)."""
+    c = cell.reshape(-1)
+    row = jnp.take(sigma_rows, c >> 5, axis=0)  # [N*K, 8]
+    half = jnp.where((c[:, None] & 16) > 0, row[:, 4:8], row[:, 0:4])
+    quad = jnp.where((c[:, None] & 8) > 0, half[:, 2:4], half[:, 0:2])
+    word = jnp.where((c & 4) > 0, quad[:, 1], quad[:, 0])
+    byte = (word >> ((c & 3).astype(jnp.uint32) * 8)) & 255
+    return ((byte & 128) > 0).reshape(cell.shape), _dequant(byte & 127).reshape(cell.shape)
+
+
+def v_u8_table(sigma_bytes_u8, cell):
+    """Fetch u8[32] rows from the BYTE view of the table: same 32 B/row and
+    the same row index, but the padded-lane materialization is 1 B/lane
+    (629 MB vs 2.5 GB) and the select tree needs no final byte shift."""
+    row = jnp.take(sigma_bytes_u8, cell >> 5, axis=0)  # [N, K, 32] u8
+    s16 = jnp.where((cell[..., None] & 16) > 0, row[..., 16:32], row[..., 0:16])
+    s8 = jnp.where((cell[..., None] & 8) > 0, s16[..., 8:16], s16[..., 0:8])
+    s4 = jnp.where((cell[..., None] & 4) > 0, s8[..., 4:8], s8[..., 0:4])
+    s2 = jnp.where((cell[..., None] & 2) > 0, s4[..., 2:4], s4[..., 0:2])
+    byte = jnp.where((cell & 1) > 0, s2[..., 1], s2[..., 0]).astype(jnp.uint32)
+    return (byte & 128) > 0, _dequant(byte & 127)
+
+
+def _make_u8_width(width):
+    """u8 rows of `width` cells: same per-point row fetch, shallower select
+    tree (log2(width) levels). All u8 outputs pad to 128 lanes regardless of
+    width, so narrower rows cost the same materialization but less select
+    work — IF the gather rate holds at narrower operand rows."""
+    levels = int(np.log2(width))
+
+    def fn(table_u8, cell):
+        shift = levels  # cells per row = 2^levels
+        row = jnp.take(table_u8, cell >> shift, axis=0)  # [N, K, width]
+        cur = row
+        for b in range(levels - 1, 0, -1):
+            half = cur.shape[-1] // 2
+            cur = jnp.where((cell[..., None] & (1 << b)) > 0,
+                            cur[..., half:], cur[..., :half])
+        byte = jnp.where((cell & 1) > 0, cur[..., 1], cur[..., 0]).astype(jnp.uint32)
+        return (byte & 128) > 0, _dequant(byte & 127)
+
+    return fn
+
+
+def main():
+    print(f"devices: {jax.devices()}", flush=True)
+    rng = np.random.default_rng(0)
+    table = jnp.asarray(rng.integers(0, 2**32, (ROWS, 8), dtype=np.uint64)
+                        .astype(np.uint32))
+    table_u8 = jax.lax.bitcast_convert_type(table, jnp.uint8).reshape(ROWS, 32)
+    # ray-coherent-ish cells (coherence doesn't change take rates, but keep
+    # it honest): random walk per ray
+    base = rng.integers(0, ROWS * 32 - K * 4, N)
+    steps = rng.integers(1, 4, (N, K)).cumsum(1)
+    cell = jnp.asarray((base[:, None] + steps).astype(np.int32) % (ROWS * 32))
+
+    fns = {
+        "current (lane select tree)": (v_current, table),
+        "transpose-first selects": (v_transpose_first, table),
+        "one-hot lane sum": (v_onehot_sum, table),
+        "flat [N*K] select tree": (v_flat, table),
+        "u8[32] row fetch": (v_u8_table, table_u8),
+        "u8[16] row fetch": (_make_u8_width(16), table_u8.reshape(ROWS * 2, 16)),
+        "u8[8] row fetch": (_make_u8_width(8), table_u8.reshape(ROWS * 4, 8)),
+        "u8[4] row fetch": (_make_u8_width(4), table_u8.reshape(ROWS * 8, 4)),
+        # u8[2] rows: the Mosaic remote compile of that gather shape never
+        # returned (>10 min; killed) — not measurable on this stack.
+    }
+    ref = None
+    for name, (fn, tab) in fns.items():
+        jf = jax.jit(fn)
+        occ, sig = jf(tab, cell)
+        occ_np, sig_np = np.asarray(occ), np.asarray(sig)
+        if ref is None:
+            ref = (occ_np, sig_np)
+        else:
+            assert np.array_equal(ref[0], occ_np), f"{name}: occ mismatch"
+            assert np.allclose(ref[1], sig_np, rtol=1e-6), f"{name}: sig mismatch"
+        ms = timed_ms(jf, tab, cell)
+        rate = N * K / ms / 1e3
+        print(f"{ms:8.2f} ms  {rate:7.0f}M rows/s  {name}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
