@@ -148,7 +148,9 @@ def size_capacities(net_cfg, rc, params, state, batch, auds,
             training=False,
         )[0])
         r = fn(params, state, b, auds)
-        return {k: int(r[k]) for k in
+        # torso/group telemetry is absent on torso-less / dense configs
+        # (e.g. bench_march_group's sparse scene)
+        return {k: int(r.get(k, 0)) for k in
                 ("n_hit", "n_samples_needed", "n_max_count", "n_torso_mask",
                  "n_groups_needed", "n_group_max", "n_k_span")}
 

@@ -251,21 +251,6 @@ class Trainer:
         if shape_sig in self._train_step_fn:
             return self._train_step_fn[shape_sig]
 
-        if self.render_cfg.march_group:
-            # the train-step telemetry stack carries only
-            # n_hit/n_samples_needed/n_max_count/n_k_span — an undersized
-            # march_group buffer would silently drop groups with no
-            # adaptation (the exact bug class _adapt_capacities exists to
-            # kill). The grouped marcher is an inference-side experiment
-            # (measured net-neutral, PERFORMANCE.md); reject it for the
-            # TRAINING path only (inference Trainers may enable it).
-            raise ValueError(
-                "march_group=True is not supported for training: group "
-                "overflow telemetry is not wired into capacity adaptation. "
-                "Train with the dense marcher and enable march_group for "
-                "inference only."
-            )
-
         net_cfg, rc = self.net_cfg, self.render_cfg
         opt = self.opt
         lpips_fn = self.lpips.loss_fn() if self.lpips is not None else None
@@ -307,9 +292,14 @@ class Trainer:
                         lpips_shape=lips_shape if use_lpips else None,
                         lpips_weight=0.01 if loss_mode == "rect" else 0.001,
                     )
+                # group telemetry rides along (zeros when march_group off)
+                # so an undersized grouped-march buffer adapts instead of
+                # silently dropping groups (the grouped marcher is a
+                # measured 1.47x win on sparse scenes, PERFORMANCE.md)
                 stats = jnp.stack(
                     [results["n_hit"], results["n_samples_needed"],
-                     results["n_max_count"], results["n_k_span"]]
+                     results["n_max_count"], results["n_k_span"],
+                     results["n_groups_needed"], results["n_group_max"]]
                 )
                 return loss, (stats, state2)
 
@@ -348,7 +338,15 @@ class Trainer:
             K_now = (rc.march_iters if rc.march_iters is not None
                      else rc.march_config().n_march_iters)
             span = int(stats[3]) if stats.shape[0] > 3 else 0
-            if n_hit > R_now or n_needed > S_now or span > K_now:
+            groups_over = False
+            if rc.march_group and stats.shape[0] > 5:
+                G_now = RenderConfig.sample_capacity(R_now, rc.march_group_mult)
+                groups_over = (
+                    int(stats[4]) > G_now
+                    or (rc.march_group_slots is not None
+                        and int(stats[5]) > rc.march_group_slots)
+                )
+            if n_hit > R_now or n_needed > S_now or span > K_now or groups_over:
                 self.log(
                     f"[WARN] adaptive-capacity cap ({self._adapt_cap} recompiles) "
                     f"reached while capacities are undersized: hits {n_hit} vs "
@@ -361,10 +359,15 @@ class Trainer:
             return
         n_max = int(stats[2]) if stats.shape[0] > 2 else rc.max_steps
         n_k_span = int(stats[3]) if stats.shape[0] > 3 else None
+        n_groups = n_group_max = None
+        if rc.march_group and stats.shape[0] > 5:
+            n_groups = int(stats[4]) or None
+            n_group_max = int(stats[5]) or None
         radius = float(self.state.occ_sphere[3])
 
         rc2 = adapt_render_config(rc, n_hit, n_needed, n_max, n_rays, radius,
-                                  n_k_span=n_k_span)
+                                  n_k_span=n_k_span, n_groups=n_groups,
+                                  n_group_max=n_group_max)
         if rc2 is not None:
             self.render_cfg = rc2
             self._train_step_fn.clear()
