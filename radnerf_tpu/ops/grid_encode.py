@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import dataclasses
 import math
-import os
 from functools import partial
 
 import jax
@@ -35,11 +34,12 @@ import numpy as np
 
 _PRIMES = (1, 2654435761, 805459861, 3674653429, 2097192037, 1434869437, 2165219737)
 _U32 = 1 << 32
-# one-hot MXU fetch beats XLA gather up to this table size (measured
-# crossover on v5e, scripts/bench_gather.py / PERFORMANCE.md: 1139M rows/s
-# at T=512, 498M at T=2048, 291M at T=4096 vs take's ~300-320M).
-# Env-overridable so frame-level A/B of the crossover needs no code edit.
-_ONEHOT_MAX_ROWS = int(os.environ.get("RADNERF_ONEHOT_MAX_ROWS", "2048"))
+# One-hot MXU fetch beats XLA gather up to this table size. Measured twice:
+# micro (scripts/bench_gather.py: 1139M rows/s at T=512, 498M at T=2048,
+# 291M at T=4096 vs take's ~300-320M) and FRAME-LEVEL A/B on the realistic
+# bench scene (round 4: threshold 0 -> 14.39 FPS, 2048 -> 14.96, 4096 ->
+# 14.92). 2048 is the settled crossover — a constant, not a knob.
+_ONEHOT_MAX_ROWS = 2048
 
 
 @dataclasses.dataclass(frozen=True)
