@@ -71,7 +71,13 @@ def save_checkpoint(
 ):
     """Write a flat-npz checkpoint. ``meta`` is stored as a JSON string."""
     flat = {}
-    _flatten(params, "model/", flat)
+    # derived caches (e.g. the bf16 ``_packed_*`` corner tables that
+    # precompute_packed_tables attaches for eval) are NOT parameters: they
+    # go stale the moment the embeddings train, and np.savez round-trips
+    # bfloat16 as an unreadable void dtype ('|V2') — strip every
+    # '_'-prefixed top-level key before flattening
+    _flatten({k: v for k, v in params.items() if not k.startswith("_")},
+             "model/", flat)
     if renderer_state is not None:
         st = {
             "density_bitfield": renderer_state.density_bitfield,
@@ -110,7 +116,18 @@ def load_checkpoint(path: str):
             meta = json.loads(bytes(z[key]).decode())
             continue
         head, _, rest = key.partition("/")
-        groups.setdefault(head, {})[rest] = z[key]
+        if rest.startswith("_"):
+            # derived '_'-prefixed caches from checkpoints written before
+            # the save-side strip (stale + possibly void-dtype bf16) —
+            # they are recomputed from the real params on demand
+            continue
+        value = z[key]
+        if value.dtype.kind == "V" and value.dtype.itemsize == 2:
+            # np.savez stores ml_dtypes.bfloat16 as a 2-byte void; undo it
+            import ml_dtypes
+
+            value = value.view(ml_dtypes.bfloat16)
+        groups.setdefault(head, {})[rest] = value
     params = _unflatten(groups["model"]) if groups["model"] else None
     state = _unflatten(groups["state"]) if groups["state"] else None
     ema = _unflatten(groups["ema"]) if groups["ema"] else None
