@@ -42,6 +42,7 @@ from ..ops.marching import (
     march_rays_grouped,
     pack_sigma_byte_rows,
 )
+from ..ops.rowgather import take_rows
 from .network import (
     NetworkConfig,
     encode_audio,
@@ -296,8 +297,8 @@ def bilinear_sample_2d(grid_flat: jax.Array, coords: jax.Array, H: int) -> jax.A
     # grid). At the a0 == H-1 edge wa == 0, so the wrapped second lane never
     # contributes.
     pairs = jnp.stack([grid_flat, jnp.roll(grid_flat, -1)], axis=1)  # [H*H, 2]
-    row0 = jnp.take(pairs, b0i * H + a0i, axis=0)  # [..., 2]
-    row1 = jnp.take(pairs, b1i * H + a0i, axis=0)
+    row0 = take_rows(pairs, b0i * H + a0i)  # [..., 2]
+    row1 = take_rows(pairs, b1i * H + a0i)
     top = row0[..., 0] * (1 - wa) + row0[..., 1] * wa
     bot = row1[..., 0] * (1 - wa) + row1[..., 1] * wa
     return top * (1 - wb) + bot * wb

@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .rowgather import take_rows
+
 _PRIMES = (1, 2654435761, 805459861, 3674653429, 2097192037, 1434869437, 2165219737)
 _U32 = 1 << 32
 # One-hot MXU fetch beats XLA gather up to this table size. Measured twice:
@@ -194,17 +196,21 @@ def grid_encode01(inputs01: jax.Array, embeddings: jax.Array, spec: GridSpec) ->
         pg = jax.lax.stop_gradient(pos_grid).astype(jnp.uint32)
 
         out = None
+        # OOB rows ride the corner weights (w = 0 for every corner => exact
+        # zero output and zero grads), replacing a per-level post-reduce
+        # select over the full feature tensor (see grid_encode01_packed).
+        inb = 1.0 - oob[..., 0].astype(jnp.float32)
         for corner in range(1 << D):
             bits = [(corner >> d) & 1 for d in range(D)]
-            w = jnp.ones(x.shape[:-1], dtype=jnp.float32)
+            w = inb
             for d, bit in enumerate(bits):
                 w = w * (frac[..., d] if bit else (1.0 - frac[..., d]))
             cg = pg + jnp.asarray(bits, dtype=jnp.uint32)
             idx = _corner_index(spec, level, cg) + jnp.uint32(spec.offsets[level])
-            emb = jnp.take(embeddings, idx.astype(jnp.int32), axis=0)
+            emb = take_rows(embeddings, idx.astype(jnp.int32))
             contrib = w[..., None] * emb
             out = contrib if out is None else out + contrib
-        level_outputs.append(jnp.where(oob, 0.0, out))
+        level_outputs.append(out)
 
     return jnp.concatenate(level_outputs, axis=-1)
 
@@ -288,7 +294,14 @@ def build_packed_table(
             corners.append(jnp.roll(seg, -delta % seg.shape[0], axis=0))
         # [T, C, 2^D] -> [T, C * 2^D] channel-major rows
         lvl = jnp.stack(corners, axis=-1).reshape(seg.shape[0], -1)
-        per_level.append(lvl if dtype is None else lvl.astype(dtype))
+        if dtype is not None:
+            lvl = lvl.astype(dtype)
+        # one ZERO row at index T: OOB points route to it THROUGH the
+        # gather index (1-lane s32 math in grid_encode01_packed) — a
+        # post-reduce jnp.where / w-mask both lower to a full select pass
+        # over every fetched row (~20 x 246 us/frame profiled round 4)
+        lvl = jnp.concatenate([lvl, jnp.zeros((1, lvl.shape[1]), lvl.dtype)])
+        per_level.append(lvl)
     return tuple(per_level)
 
 
@@ -309,6 +322,12 @@ def grid_encode01_packed(
     n_corners = 1 << D
     x = inputs01.astype(jnp.float32)
     oob = jnp.any((x < 0.0) | (x > 1.0), axis=-1, keepdims=True)
+    # OOB routes to the per-level ZERO row (index T, build_packed_table)
+    # through 1-lane index arithmetic: a row-level mask (jnp.where on the
+    # output OR a {0,1} factor folded into w — XLA canonicalizes both to
+    # the same select) costs a full pass over every fetched row
+    # (~20 x 246 us/frame profiled round 4); the index add is free.
+    oob_u = oob[..., 0].astype(jnp.uint32)
 
     level_outputs = []
     for level in range(spec.num_levels):
@@ -330,15 +349,17 @@ def grid_encode01_packed(
                 key = key + pg[..., d] * jnp.uint32(strides[d])
         key = key % jnp.uint32(hashmap_size)
 
-        T = packed[level].shape[0]
+        T = packed[level].shape[0] - 1  # last row is the OOB zero row
+        key = jnp.minimum(key + oob_u * jnp.uint32(T), jnp.uint32(T))
         if T <= _ONEHOT_MAX_ROWS:
             # one-hot matmul fetch on the MXU: measured 1.6-3.8x faster
             # than XLA's gather for tables <= 2048 rows (bench_gather.py:
             # 1139M rows/s at T=512, 498M at T=2048 vs take's ~300M) —
             # only the smallest 2-D levels qualify. Exact: a single 1.0
-            # per row selects the stored value bit-for-bit.
+            # per row selects the stored value bit-for-bit (the appended
+            # zero row rides along as one extra einsum row).
             oh = (key.astype(jnp.int32)[..., None]
-                  == jnp.arange(T, dtype=jnp.int32))
+                  == jnp.arange(T + 1, dtype=jnp.int32))
             # f32 tables need HIGHEST precision: the default TPU matmul
             # precision would silently truncate them to bf16 inside the
             # einsum. bf16 tables are already exact at default precision
@@ -350,9 +371,10 @@ def grid_encode01_packed(
             rows = jnp.einsum("...t,tw->...w", oh.astype(packed[level].dtype),
                               packed[level], precision=prec)
         else:
-            rows = jnp.take(packed[level], key.astype(jnp.int32), axis=0)
+            rows = take_rows(packed[level], key.astype(jnp.int32))
 
-        # trilinear weights, corner-major to match packing order
+        # trilinear weights, corner-major to match packing order (OOB rows
+        # already fetched the zero row, so no mask is needed here)
         w = jnp.ones((*x.shape[:-1], 1), jnp.float32)
         for corner_bit in range(D):
             f = frac[..., corner_bit]
@@ -376,8 +398,8 @@ def grid_encode01_packed(
         else:
             prod = rows.astype(jnp.float32).reshape(
                 *rows.shape[:-1], C, n_corners) * w[..., None, :]
-        out = jnp.sum(prod, axis=-1)  # [..., C]
-        level_outputs.append(jnp.where(oob, 0.0, out))
+        out = jnp.sum(prod, axis=-1)  # [..., C] (already 0 on OOB rows:
+        level_outputs.append(out)     # they fetched the zero row)
 
     return jnp.concatenate(level_outputs, axis=-1)
 
@@ -406,10 +428,10 @@ def grid_total_variation(
         shift = 0.0 if spec.align_corners else 0.5
         pos = jnp.floor(inputs01 * scale + shift).astype(jnp.uint32)
         base_idx = _corner_index(spec, level, pos) + jnp.uint32(spec.offsets[level])
-        base = jnp.take(embeddings, base_idx.astype(jnp.int32), axis=0)
+        base = take_rows(embeddings, base_idx.astype(jnp.int32))
         for d in range(D):
             nb = pos.at[..., d].add(jnp.uint32(1))
             nb_idx = _corner_index(spec, level, nb) + jnp.uint32(spec.offsets[level])
-            nbv = jnp.take(embeddings, nb_idx.astype(jnp.int32), axis=0)
+            nbv = take_rows(embeddings, nb_idx.astype(jnp.int32))
             total = total + jnp.sum((nbv - base) ** 2)
     return weight * total

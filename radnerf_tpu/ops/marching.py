@@ -46,6 +46,7 @@ import jax
 import jax.numpy as jnp
 
 from .morton import morton3d, morton3d_invert
+from .rowgather import take_rows
 
 SQRT3 = 1.7320508075688772
 
@@ -163,7 +164,7 @@ def occupancy_lookup(
         jnp.floor(0.5 * (xyz / mip_bound[..., None] + 1.0) * H), 0.0, H - 1
     ).astype(jnp.int32)
     index = level * (H * H * H) + morton3d(nxyz)
-    byte = jnp.take(bitfield, index >> 3, axis=0)
+    byte = take_rows(bitfield, index >> 3)
     return ((byte >> (index & 7).astype(jnp.uint8)) & 1).astype(jnp.bool_)
 
 
@@ -210,7 +211,7 @@ def occupancy_lookup_wide(
     ).astype(jnp.int32)
     index = level * (H * H * H) + morton3d(nxyz)
 
-    row = jnp.take(bitrows, index >> 7, axis=0)  # [..., 4] uint32 = 128 cells
+    row = take_rows(bitrows, index >> 7)  # [..., 4] uint32 = 128 cells
     word_sel = (index >> 5) & 3
     word = jnp.sum(
         jnp.where(
@@ -283,14 +284,15 @@ def sigma_byte_lookup(
     ).astype(jnp.int32)
     cell = level * (H * H * H) + morton3d(nxyz)
 
-    row = jnp.take(sigma_rows, cell >> 2, axis=0)  # [..., 4] uint8 = 4 cells
-    # 2-level binary lane select of the byte. Measured optimum at 4.9M
-    # frame-scale lookups (scripts/bench_march_extract.py, see
-    # pack_sigma_byte_rows docstring) — re-time before changing.
-    pair = jnp.where((cell[..., None] & 2) > 0, row[..., 2:4], row[..., 0:2])
-    byte = jnp.where(
-        (cell & 1) > 0, pair[..., 1], pair[..., 0]
-    ).astype(jnp.uint32)
+    row = take_rows(sigma_rows, cell >> 2)  # [..., 4] uint8 = 4 cells
+    # byte extraction: bitcast the 4 fetched lanes to ONE u32 and variable-
+    # shift the wanted byte out (little-endian lane order, XLA-defined).
+    # Pure VPU ops — no lane-select tree, so XLA generates no relayout
+    # copy/while around the gather. Measured optimum at 4.9M frame-scale
+    # lookups: 12.97 ms vs 13.80 (u8[4] select tree) vs 19.31 (u32[8] tree)
+    # (scripts/bench_march_extract.py) — re-time before changing.
+    word = jax.lax.bitcast_convert_type(row, jnp.uint32)  # [...]
+    byte = (word >> ((cell & 3).astype(jnp.uint32) * 8)) & 255
     occ = (byte & 128) > 0
     sigma_lo = _dequant_sigma(byte & 127)
     return occ, sigma_lo
@@ -499,7 +501,7 @@ def march_rays(
         cell = level * (H * H * H) + morton3d(n)
         # wide-row fetch of the fp32 grid (16 cells/row), lane-extracted
         grid_rows = sigma_grid.reshape(-1, 16)
-        rows = jnp.take(grid_rows, cell >> 4, axis=0)  # [N, S, 16]
+        rows = take_rows(grid_rows, cell >> 4)  # [N, S, 16]
         lane = (cell & 15)[..., None] == jnp.arange(16, dtype=jnp.int32)
         sig_hat = jnp.sum(jnp.where(lane, rows, 0.0), axis=-1)
         sig_hat = jnp.clip(sig_hat, 0.0, None) * 0.25  # conservative lower bound
@@ -685,8 +687,8 @@ def march_rays_grouped(
     ord_ok = (ord_i < jnp.minimum(counts, Gs)[:, None]) & (
         pos < jnp.minimum(total, Cg)
     )
-    slab = jnp.take(
-        payload, jnp.clip(pos, 0, Cg - 1).reshape(-1), axis=0
+    slab = take_rows(
+        payload, jnp.clip(pos, 0, Cg - 1).reshape(-1)
     ).reshape(N, Gs, 2 * g)
     k_l = jnp.where(ord_ok[..., None], slab[..., :g], 0.0).reshape(N, Gs * g)
     sig_l = jnp.where(ord_ok[..., None], slab[..., g:], 0.0).reshape(N, Gs * g)

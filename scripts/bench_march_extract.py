@@ -132,6 +132,64 @@ def _make_u8_width(width):
     return fn
 
 
+def v_u8_bitcast_shift(table_u8_4, cell):
+    """u8[4] row fetch, then bitcast the 4 lanes to ONE u32 and extract the
+    byte with a variable shift — no select tree, no lane slicing, so XLA has
+    no relayout/while to generate. Byte order must match the u32 table's
+    little-endian lane order (parity-asserted in main)."""
+    row = jnp.take(table_u8_4, cell >> 2, axis=0)  # [N, K, 4] u8
+    word = jax.lax.bitcast_convert_type(row, jnp.uint32)  # [N, K]
+    byte = (word >> ((cell & 3).astype(jnp.uint32) * 8)) & 255
+    return (byte & 128) > 0, _dequant(byte & 127)
+
+
+def v_u8_bitcast_shift_flat(table_u8_4, cell):
+    """Same as v_u8_bitcast_shift on FLAT [N*K] shapes."""
+    c = cell.reshape(-1)
+    row = jnp.take(table_u8_4, c >> 2, axis=0)  # [N*K, 4] u8
+    word = jax.lax.bitcast_convert_type(row, jnp.uint32)  # [N*K]
+    byte = (word >> ((c & 3).astype(jnp.uint32) * 8)) & 255
+    return ((byte & 128) > 0).reshape(cell.shape), \
+        _dequant(byte & 127).reshape(cell.shape)
+
+
+def v_u32x4_bitcast_shift(table_u32_4, cell):
+    """u32[4] row fetch (16 cells/row), one lane select level via bitcast to
+    u128? Not available — instead select the u32 lane with a 2-level tree,
+    then shift. Middle ground: 4x fewer table rows than u8[4]."""
+    row = jnp.take(table_u32_4, cell >> 4, axis=0)  # [N, K, 4] u32
+    pair = jnp.where((cell[..., None] & 8) > 0, row[..., 2:4], row[..., 0:2])
+    word = jnp.where((cell & 4) > 0, pair[..., 1], pair[..., 0])
+    byte = (word >> ((cell & 3).astype(jnp.uint32) * 8)) & 255
+    return (byte & 128) > 0, _dequant(byte & 127)
+
+
+def v_rep1_bitcast(table_rep1, cell):
+    """Stride-1 REPLICATED table: row c = bytes[c:c+4], so the wanted byte
+    is ALWAYS lane 0 — no per-element select/shift at all. 4x table bytes
+    (8 MB) but the extraction is a constant mask after bitcast."""
+    row = jnp.take(table_rep1, cell, axis=0)  # [N, K, 4] u8
+    word = jax.lax.bitcast_convert_type(row, jnp.uint32)
+    byte = word & 255
+    return (byte & 128) > 0, _dequant(byte & 127)
+
+
+def v_rep1_lane0(table_rep1, cell):
+    """Stride-1 replicated table, byte = lane-0 slice (no bitcast)."""
+    row = jnp.take(table_rep1, cell, axis=0)  # [N, K, 4] u8
+    byte = row[..., 0].astype(jnp.uint32)
+    return (byte & 128) > 0, _dequant(byte & 127)
+
+
+def v_rep2_bitcast(table_rep2, cell):
+    """Stride-2 replicated table: row r = bytes[2r:2r+4] (4 MB), wanted
+    byte = lane (cell & 1) — a single-bit variable shift after bitcast."""
+    row = jnp.take(table_rep2, cell >> 1, axis=0)  # [N, K, 4] u8
+    word = jax.lax.bitcast_convert_type(row, jnp.uint32)
+    byte = (word >> ((cell & 1).astype(jnp.uint32) * 8)) & 255
+    return (byte & 128) > 0, _dequant(byte & 127)
+
+
 def main():
     print(f"devices: {jax.devices()}", flush=True)
     rng = np.random.default_rng(0)
@@ -153,9 +211,27 @@ def main():
         "u8[16] row fetch": (_make_u8_width(16), table_u8.reshape(ROWS * 2, 16)),
         "u8[8] row fetch": (_make_u8_width(8), table_u8.reshape(ROWS * 4, 8)),
         "u8[4] row fetch": (_make_u8_width(4), table_u8.reshape(ROWS * 8, 4)),
+        "u8[4] bitcast->u32 shift": (
+            v_u8_bitcast_shift, table_u8.reshape(ROWS * 8, 4)),
+        "u8[4] bitcast->u32 shift (flat)": (
+            v_u8_bitcast_shift_flat, table_u8.reshape(ROWS * 8, 4)),
+        "u32[4] select+shift": (
+            v_u32x4_bitcast_shift, table.reshape(ROWS * 2, 4)),
+        "rep1 u8[4] (lane-const bitcast)": (v_rep1_bitcast, None),
+        "rep1 u8[4] (lane-0 slice)": (v_rep1_lane0, None),
+        "rep2 u8[4] (1-bit shift)": (v_rep2_bitcast, None),
         # u8[2] rows: the Mosaic remote compile of that gather shape never
         # returned (>10 min; killed) — not measurable on this stack.
     }
+    flat_bytes = table_u8.reshape(-1)  # [ROWS*32] byte per cell
+    rep1 = jnp.stack(
+        [jnp.roll(flat_bytes, -k) for k in range(4)], axis=1)  # [C, 4]
+    rep2 = jnp.stack(
+        [jnp.roll(flat_bytes, -k) for k in range(4)], axis=1)[::2]  # [C/2, 4]
+    for name in ("rep1 u8[4] (lane-const bitcast)", "rep1 u8[4] (lane-0 slice)"):
+        fns[name] = (fns[name][0], rep1)
+    fns["rep2 u8[4] (1-bit shift)"] = (fns["rep2 u8[4] (1-bit shift)"][0], rep2)
+
     ref = None
     for name, (fn, tab) in fns.items():
         jf = jax.jit(fn)
