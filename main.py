@@ -62,6 +62,9 @@ def build_parser():
     p.add_argument("--scale", type=float, default=4.0)
     p.add_argument("--offset", type=float, nargs="*", default=[0, 0, 0])
     p.add_argument("--dt_gamma", type=float, default=1 / 256)
+    # TPU extension: density-prior transmittance cull (see config.py:cull_T;
+    # 1e-4 at pure inference matches the reference's T_thresh early stop)
+    p.add_argument("--cull_T", type=float, default=1e-6)
     p.add_argument("--min_near", type=float, default=0.05)
     p.add_argument("--density_thresh", type=float, default=10)
     p.add_argument("--density_thresh_torso", type=float, default=0.01)

@@ -59,6 +59,13 @@ class Options:
     scale: float = 4.0
     offset: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     dt_gamma: float = 1.0 / 256
+    # non-reference extension (TPU fast path): density-prior transmittance
+    # cull threshold (RenderConfig.cull_T). The training default 1e-6 is
+    # two decades safer than the reference's own inference early-
+    # termination (T_thresh=1e-4, reference nerf/renderer.py:158); pure-
+    # inference runs may set 1e-4 for ~25% fewer field evaluations at
+    # reference-faithful semantics (probed: scripts/probe_cull.py).
+    cull_T: float = 1e-6
     min_near: float = 0.05
     density_thresh: float = 10.0
     density_thresh_torso: float = 0.01
