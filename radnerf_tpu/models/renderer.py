@@ -577,7 +577,17 @@ def render_rays(
         cols = [rays_o, rays_d]
         if noises is not None:
             cols.append(noises[:, None])
-        packed_rays = jnp.concatenate(cols, axis=-1)[ray_idx]
+        wide = jnp.concatenate(cols, axis=-1)
+        # BIT-EXACT f32 fetch via two u16[N,8] gathers: the (2,1) 16-bit
+        # lane packing + <=4MB operands gather ~1.5x faster than the
+        # single f32[N,6] row gather (scripts/bench_compact.py B5 0.99 ms
+        # vs B0 1.48 at N=262144/R=163840); f32 word = (hi16 << 16) | lo16
+        w8 = jnp.pad(wide, ((0, 0), (0, 8 - wide.shape[1])))
+        bits = jax.lax.bitcast_convert_type(w8, jnp.uint32)
+        h = take_rows((bits >> 16).astype(jnp.uint16), ray_idx)
+        l = take_rows(bits.astype(jnp.uint16), ray_idx)
+        packed_rays = jax.lax.bitcast_convert_type(
+            (h.astype(jnp.uint32) << 16) | l.astype(jnp.uint32), jnp.float32)
         o_c = packed_rays[:, :3]
         d_c = packed_rays[:, 3:6]
         nz_c = packed_rays[:, 6] if noises is not None else None
@@ -647,10 +657,11 @@ def render_rays(
             pix_idx = jnp.zeros((Rt,), jnp.int32).at[slot_t].set(
                 jnp.arange(N, dtype=jnp.int32), mode="drop"
             )
-            # pad the 2-col coord operand to 4 lanes: 8-byte rows gather at
-            # ~94M rows/s (padded-lane layout), 16-byte rows at ~160M
-            # (measured, scripts/bench_compact.py C1: 1.9 -> 1.2 ms)
-            coords_c = jnp.pad(bg_coords, ((0, 0), (0, 2)))[pix_idx][:, :2]
+            # pad the 2-col coord operand to 8 lanes: 32-byte rows gather
+            # ~2.5x faster than 8-byte ones from this operand size
+            # (scripts/bench_compact.py: C0 [N,2] 3.2 ms, C1 [N,4] 2.1,
+            # C2 [N,8] 1.26 at N=262144/Rt=98304)
+            coords_c = jnp.pad(bg_coords, ((0, 0), (0, 6)))[pix_idx][:, :2]
             a_c, c_c, deform = forward_torso(
                 params, net_cfg, coords_c, pose6, ind_code_torso
             )

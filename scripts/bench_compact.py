@@ -110,12 +110,27 @@ def main():
         ).reshape(R * S, 8)[flat_idx]
         return lat[:, :3] * 2.0 + lat[:, 3:6]
 
+    @jax.jit
+    def a5_u16_exact(o, d, t_lat, flat_idx):
+        lat = jnp.concatenate(
+            [o[:, None, :] + t_lat[..., None] * d[:, None, :],
+             jnp.broadcast_to(d[:, None, :], (R, S, 3)),
+             jnp.zeros((R, S, 2))], axis=-1).reshape(R * S, 8)
+        bits = jax.lax.bitcast_convert_type(lat, jnp.uint32)
+        hi = (bits >> 16).astype(jnp.uint16)
+        lo = bits.astype(jnp.uint16)
+        h = hi[flat_idx].astype(jnp.uint32)
+        l = lo[flat_idx].astype(jnp.uint32)
+        pts = jax.lax.bitcast_convert_type((h << 16) | l, jnp.float32)
+        return pts[:, :3] * 2.0 + pts[:, 3:6]
+
     for name, fn, args in [
         ("A0 current (concat6, col-major op)", a0_current, (o, d, t_lat, flat_idx)),
         ("A1 split xyz3 + d3 gathers", a1_split, (o, d, t_lat, flat_idx, r_of)),
         ("A2 split xyz4 + d4 (padded)", a2_split_pad4, (o, d, t_lat, flat_idx, r_of)),
         ("A3 rayrow8 + width-1 t", a3_rayrow8, (o, d, t_lat, flat_idx, r_of)),
         ("A4 lat8 lane-aligned", a4_lat8, (o, d, t_lat, flat_idx)),
+        ("A5 u16-split exact 2x lat8", a5_u16_exact, (o, d, t_lat, flat_idx)),
     ]:
         ms, chk = timed(fn, *args)
         print(f"{name:40s} {ms:7.3f} ms   (chk {chk:.1f})")
@@ -135,10 +150,41 @@ def main():
         r8 = jnp.pad(rays6, ((0, 0), (0, 2))).astype(jnp.bfloat16)
         return r8[ray_idx][:, :6].astype(jnp.float32)
 
+    @jax.jit
+    def b3_split_pad4(rays6, ray_idx):
+        # two [N,4] f32 operands (4.2 MB each, near the VMEM-residency
+        # knee) instead of one 6.3 MB [N,6]
+        o4 = jnp.pad(rays6[:, :3], ((0, 0), (0, 1)))
+        d4 = jnp.pad(rays6[:, 3:], ((0, 0), (0, 1)))
+        return jnp.concatenate(
+            [o4[ray_idx][:, :3], d4[ray_idx][:, :3]], axis=-1)
+
+    @jax.jit
+    def b4_split_raw3(rays6, ray_idx):
+        return jnp.concatenate(
+            [rays6[:, :3][ray_idx], rays6[:, 3:][ray_idx]], axis=-1)
+
+    @jax.jit
+    def b5_u16_exact(rays6, ray_idx):
+        # BIT-EXACT f32 via two u16[N,8] gathers (bf16-shaped (2,1) lane
+        # packing + <=4MB operands = the B2 fast path, without bf16 loss):
+        # f32 word = (hi16 << 16) | lo16
+        r8 = jnp.pad(rays6, ((0, 0), (0, 2)))
+        bits = jax.lax.bitcast_convert_type(r8, jnp.uint32)
+        hi = (bits >> 16).astype(jnp.uint16)
+        lo = bits.astype(jnp.uint16)
+        h = hi[ray_idx].astype(jnp.uint32)
+        l = lo[ray_idx].astype(jnp.uint32)
+        return jax.lax.bitcast_convert_type(
+            (h << 16) | l, jnp.float32)[:, :6]
+
     for name, fn in [
         ("B0 current [N,6] gather", b0_current),
         ("B1 padded [N,8] gather", b1_pad8),
         ("B2 padded bf16 [N,8]", b2_bf16),
+        ("B3 split 2x [N,4] f32", b3_split_pad4),
+        ("B4 split 2x [N,3] f32", b4_split_raw3),
+        ("B5 u16-split exact 2x [N,8]", b5_u16_exact),
     ]:
         ms, chk = timed(fn, rays6, ray_idx)
         print(f"{name:40s} {ms:7.3f} ms   (chk {chk:.1f})")
@@ -158,10 +204,21 @@ def main():
         b8 = jnp.pad(bgc, ((0, 0), (0, 6)))
         return b8[pix_idx][:, :2]
 
+    @jax.jit
+    def c3_u16_exact(bgc, pix_idx):
+        b4 = jnp.pad(bgc, ((0, 0), (0, 2)))
+        bits = jax.lax.bitcast_convert_type(b4, jnp.uint32)
+        hi = (bits >> 16).astype(jnp.uint16)
+        lo = bits.astype(jnp.uint16)
+        h = hi[pix_idx].astype(jnp.uint32)
+        l = lo[pix_idx].astype(jnp.uint32)
+        return jax.lax.bitcast_convert_type((h << 16) | l, jnp.float32)[:, :2]
+
     for name, fn in [
         ("C0 current [N,2] gather", c0_current),
         ("C1 padded [N,4] gather", c1_pad4),
         ("C2 padded [N,8] gather", c2_pad8),
+        ("C3 u16-split exact 2x [N,4]", c3_u16_exact),
     ]:
         ms, chk = timed(fn, bgc, pix_idx)
         print(f"{name:40s} {ms:7.3f} ms   (chk {chk:.1f})")
