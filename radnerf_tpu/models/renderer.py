@@ -657,10 +657,10 @@ def render_rays(
             pix_idx = jnp.zeros((Rt,), jnp.int32).at[slot_t].set(
                 jnp.arange(N, dtype=jnp.int32), mode="drop"
             )
-            # pad the 2-col coord operand to 8 lanes: 32-byte rows gather
-            # ~2.5x faster than 8-byte ones from this operand size
-            # (scripts/bench_compact.py: C0 [N,2] 3.2 ms, C1 [N,4] 2.1,
-            # C2 [N,8] 1.26 at N=262144/Rt=98304)
+            # pad the 2-col coord operand to 8 lanes (micro-measured
+            # fastest: scripts/bench_compact.py C0 [N,2] 3.2 ms, C1 [N,4]
+            # 2.1, C2 [N,8] 1.26 at N=262144/Rt=98304; in-frame XLA
+            # narrows the sliced gather so the win is bounded by context)
             coords_c = jnp.pad(bg_coords, ((0, 0), (0, 6)))[pix_idx][:, :2]
             a_c, c_c, deform = forward_torso(
                 params, net_cfg, coords_c, pose6, ind_code_torso

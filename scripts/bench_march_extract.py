@@ -190,6 +190,20 @@ def v_rep2_bitcast(table_rep2, cell):
     return (byte & 128) > 0, _dequant(byte & 127)
 
 
+def v_u8_onehot_f32(table_u8_4, cell):
+    """u8[4] row fetch, lane select as an f32 one-hot multiply-sum (no
+    bitcast, no select tree — pure elementwise + tiny lane reduce). u8 ->
+    f32 conversion is exact for byte values; the bit tests become float
+    compares/subtracts."""
+    row = jnp.take(table_u8_4, cell >> 2, axis=0).astype(jnp.float32)
+    oh = ((cell & 3)[..., None] == jnp.arange(4, dtype=jnp.int32))
+    byte_f = jnp.sum(row * oh.astype(jnp.float32), axis=-1)  # [N, K]
+    occ = byte_f >= 128.0
+    code = byte_f - jnp.where(occ, 128.0, 0.0)
+    sig = jnp.exp2(code * (14.0 / 127.0) - 7.0) - 2.0**-7
+    return occ, sig
+
+
 def main():
     print(f"devices: {jax.devices()}", flush=True)
     rng = np.random.default_rng(0)
@@ -220,6 +234,8 @@ def main():
         "rep1 u8[4] (lane-const bitcast)": (v_rep1_bitcast, None),
         "rep1 u8[4] (lane-0 slice)": (v_rep1_lane0, None),
         "rep2 u8[4] (1-bit shift)": (v_rep2_bitcast, None),
+        "u8[4] one-hot f32 lane sum": (
+            v_u8_onehot_f32, table_u8.reshape(ROWS * 8, 4)),
         # u8[2] rows: the Mosaic remote compile of that gather shape never
         # returned (>10 min; killed) — not measurable on this stack.
     }

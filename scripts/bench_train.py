@@ -35,7 +35,10 @@ def main():
     # full-orbit K measures buffer padding, not training)
     rc = B.size_capacities(net_cfg, rc, params, state, batch, aud_stream[0],
                            probe_batch=B.build_scene(256, 256)[4])
-    rc = dataclasses.replace(rc, torso=False)
+    # torso off (head stage) and the TRAINING cull default — build_scene
+    # ships the inference threshold (1e-4, reference T_thresh) for the FPS
+    # bench; training must measure at its own 1e-6 default
+    rc = dataclasses.replace(rc, torso=False, cull_T=1e-6)
     opt = Options(iters=200_000)
     tx = build_optimizer(net_cfg, opt)
     opt_state = tx.init(params)
