@@ -707,3 +707,84 @@ def test_march_grouped_respects_k_truncation():
         np.asarray(dense["t"]), np.asarray(grouped["t"]), rtol=1e-6,
         atol=1e-6,
     )
+
+
+# ------------------------------------------------- round-4 hot-path invariants
+def test_take_rows_matches_bracket_indexing():
+    """ops.rowgather.take_rows (PROMISE_IN_BOUNDS, no clamp/fill pass) must
+    agree with plain indexing for in-bounds indices — every hot-path call
+    site constructs indices in range (clip/mod/min) before the fetch."""
+    from radnerf_tpu.ops.rowgather import take_rows
+
+    rng = np.random.default_rng(11)
+    table = jnp.asarray(rng.normal(size=(257, 6)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, 257, size=(33, 7)), jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(take_rows(table, idx)), np.asarray(table[idx])
+    )
+    # grad path (training uses take_rows on the embedding table)
+    g = jax.grad(lambda t: jnp.sum(take_rows(t, idx) ** 2))(table)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_packed_table_zero_row_oob_routing():
+    """build_packed_table appends one ZERO row per level and OOB points
+    route to it through the gather index — including levels small enough
+    to take the one-hot MXU branch (T <= 2048). Exact zeros required."""
+    from radnerf_tpu.ops import build_packed_table, grid_encode01_packed
+
+    spec = GridSpec.create(
+        input_dim=2, num_levels=6, level_dim=2, base_resolution=4,
+        log2_hashmap_size=16, desired_resolution=128, gridtype="tiled",
+    )
+    rng = np.random.default_rng(5)
+    emb = jnp.asarray(rng.normal(size=(spec.n_embeddings, 2)), jnp.float32)
+    packed = build_packed_table(emb, spec)
+    offs = spec.offsets
+    small = [lvl.shape[0] - 1 <= 2048 for lvl in packed]
+    assert any(small), "spec must exercise the one-hot branch"
+    for level, lvl in enumerate(packed):
+        assert lvl.shape[0] == (offs[level + 1] - offs[level]) + 1
+        assert np.all(np.asarray(lvl[-1]) == 0.0)
+
+    x = jnp.asarray(rng.uniform(0, 1, (16, 2)), jnp.float32)
+    x = x.at[3].set(jnp.asarray([1.2, 0.5]))   # oob on dim 0
+    x = x.at[7].set(jnp.asarray([0.5, -0.1]))  # oob on dim 1
+    out = np.asarray(grid_encode01_packed(x, packed, spec))
+    assert np.all(out[3] == 0.0) and np.all(out[7] == 0.0)
+    assert np.all(out[[0, 1, 2, 4]] != 0.0)
+
+
+def test_u16_split_gather_is_bit_exact():
+    """The ray-geometry fetch reconstructs f32 from two u16 gathers
+    ((hi16 << 16) | lo16, models/renderer.py). Must be bit-exact for every
+    f32 pattern that can appear in ray data, including negatives, tiny
+    magnitudes, and exact zeros."""
+    vals = np.array(
+        [0.0, -0.0, 1.0, -3.3, 1e-38, -1e-38, 3.4e38, 0.1, np.pi],
+        np.float32,
+    )
+    rng = np.random.default_rng(2)
+    w = np.concatenate(
+        [vals, rng.normal(scale=10.0, size=119).astype(np.float32)]
+    ).reshape(16, 8)
+    wj = jnp.asarray(w)
+    bits = jax.lax.bitcast_convert_type(wj, jnp.uint32)
+    hi = (bits >> 16).astype(jnp.uint16)
+    lo = bits.astype(jnp.uint16)
+    idx = jnp.asarray(rng.permutation(16), jnp.int32)
+    rec = jax.lax.bitcast_convert_type(
+        (hi[idx].astype(jnp.uint32) << 16) | lo[idx].astype(jnp.uint32),
+        jnp.float32,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rec).view(np.uint32), w[np.asarray(idx)].view(np.uint32)
+    )
+
+
+def test_cull_T_flag_reaches_render_config():
+    from radnerf_tpu.config import Options
+    from radnerf_tpu.models.renderer import RenderConfig
+
+    assert RenderConfig.from_options(Options()).cull_T == 1e-6
+    assert RenderConfig.from_options(Options(cull_T=1e-4)).cull_T == 1e-4
