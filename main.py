@@ -104,7 +104,35 @@ def build_parser():
     p.add_argument("-l", type=int, default=10)
     p.add_argument("-m", type=int, default=50)
     p.add_argument("-r", type=int, default=10)
+    # TPU capacity knobs (no reference counterpart). default=None is a
+    # "not passed" sentinel: a flag the user actually types is recorded in
+    # Options.cap_overrides and WINS over a checkpoint's trained capacities
+    # (e.g. the exhaustive debug config --ray_capacity_frac 1.0 --cull_T 0
+    # --sample_capacity_mult 16); unset flags keep the dataclass defaults
+    # and restore freely from checkpoint meta.
+    # Grid shape (see Options.grid_levels): 8x4 halves encoder gather
+    # rows/sample at the same 32-d feature width (TPU perf lever,
+    # quality-gated via scripts/quality_harness.py)
+    p.add_argument("--grid_levels", type=int, default=16,
+                   help="multiresolution grid levels (reference: 16)")
+    p.add_argument("--grid_ch", type=int, default=2,
+                   help="feature channels per grid level (reference: 2)")
+    p.add_argument("--sample_capacity_mult", type=float, default=None,
+                   help="field-eval buffer rows as a multiple of the "
+                        "compacted ray count (default 4.0; adapted from "
+                        "telemetry unless set here)")
+    p.add_argument("--march_iters", type=int, default=None,
+                   help="marcher orbit length K (default: safe bound; "
+                        "adapted from telemetry unless set here)")
+    p.add_argument("--ray_capacity_frac", type=float, default=None,
+                   help="occupied-bbox ray compaction capacity as a "
+                        "fraction of the ray batch (default 1.0 = no "
+                        "compaction; adapted from telemetry unless set)")
     return p
+
+
+# capacity flags whose CLI provenance gates checkpoint capacity restore
+_CAP_FLAGS = ("sample_capacity_mult", "march_iters", "ray_capacity_frac")
 
 
 def options_from_args(args) -> Options:
@@ -112,6 +140,15 @@ def options_from_args(args) -> Options:
     kw = {k: v for k, v in vars(args).items() if k in fields}
     kw["data_range"] = tuple(args.data_range)
     kw["offset"] = tuple(args.offset)
+    # capacity flags: None means "not passed" — drop so dataclass defaults
+    # apply; passed values are recorded as explicit user overrides that
+    # survive checkpoint capacity restore (Trainer._user_cap_fields)
+    kw["cap_overrides"] = tuple(
+        f for f in _CAP_FLAGS if getattr(args, f, None) is not None
+    )
+    for f in _CAP_FLAGS:
+        if kw.get(f) is None:
+            kw.pop(f, None)
     opt = Options(**kw)
     if args.O:
         opt.apply_O()

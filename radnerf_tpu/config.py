@@ -122,12 +122,27 @@ class Options:
     pose: str = ""  # inference-only: pose json
 
     # TPU-specific knobs (no reference counterpart)
+    # Grid shape (levels x channels) for all three tiled-grid encoders.
+    # Reference fixes 16x2 (network.py:133-134,165); 8x4 keeps the same
+    # 32-d features and halves encoder gather rows/sample — the dominant
+    # per-frame cost on TPU (PERFORMANCE.md). Checkpoints embed the shape;
+    # changing it starts a new model.
+    grid_levels: int = 16
+    grid_ch: int = 2
     sample_capacity_mult: float = 4.0  # field-eval buffer = mult * num_rays
     march_iters: Optional[int] = None  # None -> safe bound from MarchConfig
+    ray_capacity_frac: float = 1.0  # occupied-bbox ray compaction capacity
     data_parallel: bool = False  # shard ray batches over the device mesh
     # adapt ray/sample capacities to measured occupancy (the mean_count
     # analogue, raymarching.py:224-229); bounded bucketed recompiles
     auto_capacity: bool = True
+    # capacity fields the user EXPLICITLY set (CLI provenance, filled by
+    # main.py:options_from_args). Trainer keeps these over a checkpoint's
+    # trained capacities; everything else restores from checkpoint meta.
+    # A constructor-supplied RenderConfig is a *starting* config, not an
+    # override — only names listed here (or Trainer(cap_overrides=...))
+    # block the restore.
+    cap_overrides: Tuple[str, ...] = ()
 
     def apply_O(self) -> "Options":
         """-O bundle: fp16 + exp_eye (main.py:111-113)."""

@@ -123,6 +123,16 @@ class NetworkConfig:
     ambient_dim: int = 2
     # compute dtype for MLP matmuls ('bfloat16' or 'float32')
     compute_dtype: str = "float32"
+    # Grid shape: levels x channels for the spatial/ambient/torso encoders.
+    # The reference fixes 16x2 (network.py:133-134,165). TPU lever: the
+    # encoder cost is GATHER ROWS per sample (one row per point-level,
+    # PERFORMANCE.md), so 8 levels x 4 channels keeps the same 32-d feature
+    # width and halves the dominant gather cost; packed bf16 rows stay
+    # <= 64 B (4ch x 8 corners x 2 B), within the free-row-width regime.
+    # Quality-gated through scripts/quality_harness.py before changing any
+    # default.
+    grid_levels: int = 16
+    grid_ch: int = 2
 
     @staticmethod
     def from_options(opt) -> "NetworkConfig":
@@ -140,29 +150,33 @@ class NetworkConfig:
             train_camera=opt.train_camera,
             ambient_dim=opt.amb_dim,
             compute_dtype="bfloat16" if opt.fp16 else "float32",
+            grid_levels=getattr(opt, "grid_levels", 16),
+            grid_ch=getattr(opt, "grid_ch", 2),
         )
 
     @property
     def grid_spec(self) -> GridSpec:
         return GridSpec.create(
-            input_dim=3, num_levels=16, level_dim=2, base_resolution=16,
-            log2_hashmap_size=16, desired_resolution=2048 * self.bound,
+            input_dim=3, num_levels=self.grid_levels, level_dim=self.grid_ch,
+            base_resolution=16, log2_hashmap_size=16,
+            desired_resolution=2048 * self.bound,
             gridtype="tiled", interpolation="linear",
         )
 
     @property
     def ambient_spec(self) -> GridSpec:
         return GridSpec.create(
-            input_dim=self.ambient_dim, num_levels=16, level_dim=2,
-            base_resolution=16, log2_hashmap_size=16, desired_resolution=2048,
+            input_dim=self.ambient_dim, num_levels=self.grid_levels,
+            level_dim=self.grid_ch, base_resolution=16, log2_hashmap_size=16,
+            desired_resolution=2048,
             gridtype="tiled", interpolation="linear",
         )
 
     @property
     def torso_spec(self) -> GridSpec:
         return GridSpec.create(
-            input_dim=2, num_levels=16, level_dim=2, base_resolution=16,
-            log2_hashmap_size=16, desired_resolution=2048,
+            input_dim=2, num_levels=self.grid_levels, level_dim=self.grid_ch,
+            base_resolution=16, log2_hashmap_size=16, desired_resolution=2048,
             gridtype="tiled", interpolation="linear",
         )
 

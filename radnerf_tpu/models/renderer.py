@@ -148,6 +148,7 @@ class RenderConfig:
             smooth_lips=opt.smooth_lips,
             sample_capacity_mult=opt.sample_capacity_mult,
             march_iters=opt.march_iters,
+            ray_capacity_frac=getattr(opt, "ray_capacity_frac", 1.0),
             cull_T=getattr(opt, "cull_T", 1e-6),
         )
 

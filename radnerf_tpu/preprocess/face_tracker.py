@@ -13,9 +13,12 @@ trans [N,3] with z-7 init; same losses: mean-squared landmark error +
 0.5*id^2 + 0.4*exp^2 regularizers + laplacian temporal smoothing; same Adam
 schedule with x0.2 decay), jit-compiled with optax. The morphable-model
 BASIS (mean landmarks + id/exp bases at the 68 landmark vertices, from the
-Basel Face Model whose data files cannot ship here) is an input array; the
-photometric texture/lighting refinement stage requires a differentiable
-rasterizer + BFM textures and remains a pluggable hook.
+Basel Face Model whose data files cannot ship here) is an input array. The
+photometric texture/lighting refinement stage is implemented too:
+``photometric_refine`` below drives the native differentiable rasterizer in
+``render_3dmm.py`` (SH lighting + texture fit, the pytorch3d-path analogue
+of reference face_tracker.py:178-377) and is synthetic-recovery-tested
+(tests/test_utils.py::test_photometric_refine_recovers_pose).
 
 Convention notes (matching the reference):
 - rotation: euler_zyx_rot (Rx@Ry@Rz with the tracker's signs, shared with

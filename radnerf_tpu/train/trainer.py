@@ -102,23 +102,38 @@ class Trainer:
         use_checkpoint: str = "latest",
         use_tensorboard: bool = True,
         mute: bool = False,
+        cap_overrides=None,
     ):
         self.name = name
         self.opt = opt
         self.net_cfg = net_cfg or NetworkConfig.from_options(opt)
         self.render_cfg = render_cfg or RenderConfig.from_options(opt)
-        # Capacity fields the constructor/CLI explicitly overrode (differ
-        # from the dataclass defaults). load_checkpoint restores trained
-        # capacities from checkpoint meta; a deliberate override (e.g. the
-        # exhaustive debug config frac=1.0/cull_T=0/mult=16) must win over
-        # the checkpoint's adapted values, not be silently clobbered.
-        _cap_defaults = RenderConfig()
-        self._user_cap_fields = {
-            f for f in ("ray_capacity_frac", "sample_capacity_mult",
-                        "march_iters", "sample_slots", "torso_capacity_frac",
-                        "march_group_mult", "march_group_slots")
-            if getattr(self.render_cfg, f) != getattr(_cap_defaults, f)
-        }
+        # Capacity fields the user EXPLICITLY overrode, by PROVENANCE: CLI
+        # flags actually typed (Options.cap_overrides, recorded by
+        # main.py:options_from_args) or the cap_overrides constructor arg.
+        # load_checkpoint restores trained capacities from checkpoint meta;
+        # a deliberate override (e.g. the exhaustive debug config
+        # --ray_capacity_frac 1.0 --cull_T 0 --sample_capacity_mult 16)
+        # must win over the checkpoint's adapted values. A constructor-
+        # supplied RenderConfig is a *starting* config, NOT an override —
+        # diffing it against dataclass defaults (the round-4 heuristic)
+        # silently skipped restoring trained capacities for every custom
+        # config, the exact silent-drop bug class persistence exists to
+        # kill (PARITY.md: 15 dB vs 32.4 dB).
+        _cap_names = frozenset((
+            "ray_capacity_frac", "sample_capacity_mult", "march_iters",
+            "sample_slots", "torso_capacity_frac", "march_group_mult",
+            "march_group_slots",
+        ))
+        self._user_cap_fields = set(getattr(opt, "cap_overrides", ()) or ())
+        if cap_overrides:
+            self._user_cap_fields |= set(cap_overrides)
+        unknown = self._user_cap_fields - _cap_names
+        if unknown:
+            raise ValueError(
+                f"cap_overrides names unknown capacity fields {sorted(unknown)}; "
+                f"valid: {sorted(_cap_names)}"
+            )
         self.metrics = list(metrics)
         self.workspace = workspace or opt.workspace
         self.ema_decay = ema_decay
@@ -908,6 +923,10 @@ class Trainer:
                 "march_group_mult": rc.march_group_mult,
                 "march_group_slots": rc.march_group_slots,
             },
+            # grid shape is part of the model identity: a restore into a
+            # differently-shaped NetworkConfig must fail loudly, not merge
+            # mismatched embedding tables (load_checkpoint checks this)
+            "grid_shape": [self.net_cfg.grid_levels, self.net_cfg.grid_ch],
         }
         if not best:
             path = os.path.join(self.ckpt_path, f"{name}.npz")
@@ -941,6 +960,28 @@ class Trainer:
             self.opt_state = self.tx.init(self.params)
             return
         params, state, ema, opt_flat, meta = ckpt_lib.load_checkpoint(path)
+        saved_shape = meta.get("grid_shape")
+        cur_shape = [self.net_cfg.grid_levels, self.net_cfg.grid_ch]
+        if saved_shape is not None and list(saved_shape) != cur_shape:
+            raise ValueError(
+                f"checkpoint {path} was trained with grid shape "
+                f"{saved_shape[0]} levels x {saved_shape[1]} ch but this "
+                f"trainer is configured for {cur_shape[0]}x{cur_shape[1]} — "
+                f"pass --grid_levels {saved_shape[0]} --grid_ch "
+                f"{saved_shape[1]} (the grid shape is part of the model)"
+            )
+        if (saved_shape is None and params is not None
+                and "encoder" in params
+                and np.shape(params["encoder"])
+                != tuple(self.params["encoder"].shape)):
+            # pre-grid_shape checkpoints: catch the same mismatch by table
+            # shape rather than silently merging mismatched embeddings
+            raise ValueError(
+                f"checkpoint {path} encoder table {np.shape(params['encoder'])} "
+                f"does not match the configured grid "
+                f"({tuple(self.params['encoder'].shape)}) — grid_levels/"
+                f"grid_ch must match the checkpoint's"
+            )
         cap = meta.get("render_cfg")
         # model_only loads (freeze_loaded_head, 'latest_model') adopt the
         # checkpoint's trained capacities only when this trainer has none of

@@ -201,6 +201,169 @@ def ref_march_ray(o, d, near, far, bitfield, bound, cascade, H, max_steps, dt_ga
     return samples
 
 
+# ------------------------------------------------------------ near/far (slab)
+def ref_near_far(o, d, aabb, min_near=0.05):
+    """kernel_near_far_from_aabb (raymarching.cu:91-156), one ray: per-axis
+    slab test against the rectangular AABB, near clamped up to min_near,
+    miss -> (FLT_MAX, FLT_MAX)."""
+    tmin, tmax = -math.inf, math.inf
+    for a in range(3):
+        da = d[a] if d[a] != 0.0 else 1e-30
+        t0 = (aabb[a] - o[a]) / da
+        t1 = (aabb[3 + a] - o[a]) / da
+        tmin = max(tmin, min(t0, t1))
+        tmax = min(tmax, max(t0, t1))
+    if tmin > tmax:
+        return 3.4028235e38, 3.4028235e38
+    return max(tmin, min_near), tmax
+
+
+# ----------------------------------------------------- torso occupancy sample
+def ref_bilinear_2d(grid_flat, coords, H):
+    """F.grid_sample(grid.view(1,1,H,H), coords, align_corners=True) with the
+    reference's flat layout flat[c1*H + c0] (reference renderer.py:282,472)."""
+    a = (coords[..., 0] + 1.0) * 0.5 * (H - 1)
+    b = (coords[..., 1] + 1.0) * 0.5 * (H - 1)
+    a0 = np.clip(np.floor(a), 0, H - 1).astype(np.int64)
+    b0 = np.clip(np.floor(b), 0, H - 1).astype(np.int64)
+    a1 = np.clip(a0 + 1, 0, H - 1)
+    b1 = np.clip(b0 + 1, 0, H - 1)
+    wa = np.clip(a - a0, 0.0, 1.0)
+    wb = np.clip(b - b0, 0.0, 1.0)
+    top = grid_flat[b0 * H + a0] * (1 - wa) + grid_flat[b0 * H + a1] * wa
+    bot = grid_flat[b1 * H + a0] * (1 - wa) + grid_flat[b1 * H + a1] * wa
+    return top * (1 - wb) + bot * wb
+
+
+# -------------------------------------------------------- full field (numpy)
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def ref_field_forward(params, cfg, x, d, enc_a, c, e):
+    """NeRFNetwork.forward re-executed in numpy (reference network.py:222-283)
+    via the kernel-transcription encoders. x [M,3] in [-bound,bound], d [M,3]
+    unit, enc_a [1,64] (None -> zero-ambient branch, network.py:233-236),
+    c [ind_dim], e scalar."""
+    M = x.shape[0]
+    b = cfg.bound
+    enc_x = ref_grid_encode(
+        (x.astype(np.float64) + b) / (2 * b),
+        np.asarray(params["encoder"], np.float64), cfg.grid_spec)
+    if enc_a is None:
+        ambient = np.zeros((M, cfg.ambient_dim), np.float64)
+    else:
+        a_rep = np.repeat(np.asarray(enc_a, np.float64), M, axis=0)
+        ambient = np.tanh(ref_mlp(params["ambient_net"]["layers"],
+                                  np.concatenate([enc_x, a_rep], axis=-1)))
+    enc_w = ref_grid_encode(
+        (ambient + 1.0) / 2.0,
+        np.asarray(params["encoder_ambient"], np.float64), cfg.ambient_spec)
+    parts = [enc_x, enc_w]
+    if e is not None:
+        parts.append(np.full((M, 1), e, np.float64))
+    h = ref_mlp(params["sigma_net"]["layers"], np.concatenate(parts, axis=-1))
+    sigma = ref_trunc_exp(h[:, 0])
+    geo = h[:, 1:]
+    enc_d = ref_sh_encode4(d.astype(np.float64))
+    parts2 = [enc_d, geo]
+    if c is not None:
+        parts2.append(np.repeat(np.asarray(c, np.float64)[None], M, axis=0))
+    color = _sigmoid(ref_mlp(params["color_net"]["layers"],
+                             np.concatenate(parts2, axis=-1)))
+    return sigma, color, ambient
+
+
+def ref_forward_torso(params, cfg, x, pose6, c):
+    """forward_torso re-executed in numpy (reference network.py:188-219)."""
+    M = x.shape[0]
+    xs = x.astype(np.float64) * cfg.torso_shrink
+    enc_pose = ref_freq_encode(np.asarray(pose6, np.float64), 4)
+    enc_x = ref_freq_encode(xs, 10)
+    parts = [enc_x, np.repeat(enc_pose, M, axis=0)]
+    if c is not None:
+        parts.append(np.repeat(np.asarray(c, np.float64)[None], M, axis=0))
+    h = np.concatenate(parts, axis=-1)
+    dx = ref_mlp(params["torso_deform_net"]["layers"], h)
+    xp = np.clip(xs + dx, -1.0, 1.0)
+    enc_t = ref_grid_encode(
+        (xp + 1.0) / 2.0, np.asarray(params["torso_encoder"], np.float64),
+        cfg.torso_spec)
+    h2 = ref_mlp(params["torso_net"]["layers"],
+                 np.concatenate([enc_t, h], axis=-1))
+    return _sigmoid(h2[:, :1]), _sigmoid(h2[:, 1:])
+
+
+def ref_render_frame(params, net_cfg, rays_o, rays_d, bg_coords, pose6,
+                     enc_a, eye, bg_color, bitfield, density_grid_torso,
+                     mean_density_torso, *, bound=1.0, min_near=0.05,
+                     grid_size=128, cascade=1, max_steps=16, dt_gamma=0.0,
+                     T_thresh=1e-4, density_thresh_torso=0.01, torso=True):
+    """Full-frame reference-semantics render, assembled from the literal
+    kernel transcriptions: slab near/far (raymarching.cu:91-156) ->
+    per-ray marching (kernel_march_rays_train, :352-518) -> field eval
+    (network.py:222-283) -> sequential compositing (:603-687) -> torso
+    2-D layer over background with the grid_sample occupancy mask
+    (renderer.py:265-311). Pure numpy/python; the oracle for the
+    frame-level PSNR parity number quoted in README.
+
+    Returns (image [N,3], weights_sum [N]).
+    """
+    N = rays_o.shape[0]
+    aabb = (-bound, -bound / 2, -bound, bound, bound / 2, bound)
+    ind_code = params.get("individual_codes")
+    ind_code = None if ind_code is None else np.asarray(ind_code)[0]
+
+    # march every ray, batch all samples for one vectorized field eval
+    all_samples = []
+    per_ray = []
+    for n in range(N):
+        o, d = rays_o[n], rays_d[n]
+        near, far = ref_near_far(o, d, aabb, min_near)
+        samples = [] if near >= 1e38 else ref_march_ray(
+            o, d, near, far, bitfield, bound, cascade, grid_size,
+            max_steps, dt_gamma, noise=0.0)
+        per_ray.append((len(all_samples), len(samples)))
+        all_samples.extend(samples)
+
+    ws = np.zeros(N)
+    head_rgb = np.zeros((N, 3))
+    if all_samples:
+        xyz = np.asarray([s[:3] for s in all_samples], np.float32)
+        dts = np.asarray([s[3] for s in all_samples])
+        ts_after = np.asarray([s[4] for s in all_samples])
+        dirs = np.concatenate([
+            np.repeat(rays_d[n][None], cnt, axis=0)
+            for n, (_, cnt) in enumerate(per_ray) if cnt], axis=0)
+        sigma, color, ambient = ref_field_forward(
+            params, net_cfg, xyz, dirs, enc_a, ind_code, eye)
+        for n, (base, cnt) in enumerate(per_ray):
+            if not cnt:
+                continue
+            sl = slice(base, base + cnt)
+            rgb, _, w, _ = ref_composite_ray(
+                sigma[sl], color[sl], ambient[sl, 0] if ambient.ndim > 1
+                else ambient[sl], dts[sl], ts_after[sl], T_thresh)
+            head_rgb[n] = rgb
+            ws[n] = w
+
+    bg = np.asarray(bg_color, np.float64).copy()
+    if torso:
+        thresh_t = min(density_thresh_torso, float(mean_density_torso))
+        occ = ref_bilinear_2d(np.asarray(density_grid_torso, np.float64),
+                              np.asarray(bg_coords, np.float64), grid_size)
+        mask = occ > thresh_t
+        if mask.any():
+            c_t = params.get("individual_codes_torso")
+            c_t = None if c_t is None else np.asarray(c_t)[0]
+            t_alpha, t_color = ref_forward_torso(
+                params, net_cfg, np.asarray(bg_coords)[mask], pose6, c_t)
+            bg[mask] = t_color * t_alpha + bg[mask] * (1.0 - t_alpha)
+
+    image = np.clip(head_rgb + (1.0 - ws)[:, None] * bg, 0.0, 1.0)
+    return image, ws
+
+
 # ----------------------------------------------------------------- compositor
 def ref_composite_ray(sigmas, rgbs, ambient, dts, ts_after, T_thresh=1e-4):
     """kernel_composite_rays_train_forward (raymarching.cu:603-687), one ray."""

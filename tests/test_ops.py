@@ -35,13 +35,17 @@ from reference_impl import (
 
 
 # ------------------------------------------------------------------ encoders
+@pytest.mark.parametrize("shape", [(16, 2), (8, 4)])
 @pytest.mark.parametrize("gridtype", ["tiled", "hash"])
 @pytest.mark.parametrize("input_dim", [2, 3])
-def test_grid_encode_matches_reference(gridtype, input_dim):
+def test_grid_encode_matches_reference(gridtype, input_dim, shape):
+    # (8, 4) is the TPU fast-grid shape (NetworkConfig.grid_levels/grid_ch):
+    # same 32-d features, half the gather rows — the index/interp rules are
+    # shape-independent and must match the CUDA transcription for both
     spec = GridSpec.create(
         input_dim=input_dim,
-        num_levels=16,
-        level_dim=2,
+        num_levels=shape[0],
+        level_dim=shape[1],
         base_resolution=16,
         log2_hashmap_size=16,
         desired_resolution=2048,
@@ -109,12 +113,14 @@ def test_grid_encode_grads():
         np.testing.assert_allclose(float(jnp.sum(g_x[:, d])), float(fd), rtol=0.2, atol=1e-2)
 
 
+@pytest.mark.parametrize("shape", [(16, 2), (8, 4)])
 @pytest.mark.parametrize("input_dim", [2, 3])
-def test_grid_encode_packed_matches_unpacked(input_dim):
+def test_grid_encode_packed_matches_unpacked(input_dim, shape):
     from radnerf_tpu.ops import build_packed_table, grid_encode01_packed
 
     spec = GridSpec.create(
-        input_dim=input_dim, num_levels=16, level_dim=2, base_resolution=16,
+        input_dim=input_dim, num_levels=shape[0], level_dim=shape[1],
+        base_resolution=16,
         log2_hashmap_size=16, desired_resolution=2048, gridtype="tiled",
     )
     rng = np.random.default_rng(3)

@@ -164,6 +164,103 @@ def test_forward_torso_matches_reference(imported):
     np.testing.assert_allclose(np.asarray(color), color_ref, rtol=1e-3, atol=2e-4)
 
 
+def test_reference_semantics_frame_psnr(imported):
+    """Full-frame PSNR against the assembled reference-semantics render
+    (BASELINE.md: 'PSNR within 0.5 dB of the reference renders'; true
+    pretrained-checkpoint parity is impossible here — no published weights
+    ship — so the honest maximum is this numpy re-execution of the
+    reference's whole pipeline on imported torch-layout weights:
+    slab near/far -> kernel_march_rays_train -> NeRFNetwork.forward ->
+    kernel_composite_rays_train -> torso grid_sample mask -> bg blend,
+    reference_impl.ref_render_frame, every stage a literal transcription).
+
+    The fp32 TPU render must match far inside the 0.5 dB criterion — the
+    floor asserted here (>= 40 dB on [0,1] pixels, i.e. max|dI| ~ 1e-2)
+    is dominated by fp32-order-of-operations and the bf16 table policy
+    being OFF; measured ~60+ dB in CI. README quotes the measured value."""
+    from test_train import _blob_grid
+    from radnerf_tpu.data.rays import get_bg_coords, get_rays
+    from radnerf_tpu.models import (
+        RenderConfig, RendererState, compute_occ_bbox, render_rays,
+    )
+    from radnerf_tpu.models.network import encode_audio
+    from radnerf_tpu.models.renderer import compute_occ_sphere
+    from radnerf_tpu.ops.marching import build_sigma_bytes
+    from radnerf_tpu.ops.morton import packbits
+
+    from reference_impl import ref_render_frame
+
+    params, cfg = imported
+    H = W = 48
+    rc = RenderConfig(torso=True, exp_eye=True, grid_size=32, max_steps=8,
+                      dt_gamma=0.0, sample_capacity_mult=16.0,
+                      ray_capacity_frac=1.0, cull_T=1e-6)
+
+    grid = jnp.asarray(_blob_grid(32))  # [1, 32^3], values {0, 20}
+    thresh = 1.0  # min(mean_density=1.0, density_thresh=10)
+    rng = np.random.default_rng(5)
+    torso_grid = jnp.asarray(rng.uniform(0, 0.2, (32 * 32,)), jnp.float32)
+    state = RendererState.create(rc).replace(
+        density_grid=grid,
+        density_bitfield=packbits(grid, thresh),
+        mean_density=jnp.asarray(1.0, jnp.float32),
+        density_grid_torso=torso_grid,
+        mean_density_torso=jnp.asarray(0.05, jnp.float32),
+        occ_bbox=compute_occ_bbox(rc, grid, thresh),
+        occ_sphere=compute_occ_sphere(rc, grid, thresh),
+    ).with_sigma_bytes(build_sigma_bytes(grid, thresh))
+
+    pose = np.eye(4, dtype=np.float32)
+    pose[2, 3] = -3.3
+    rays = get_rays(pose, (80.0, 80.0, W / 2, H / 2), H, W, -1)
+    bg_coords = np.asarray(get_bg_coords(H, W))
+    pose6 = rng.normal(size=(1, 6)).astype(np.float32)
+    auds = rng.normal(size=(8, 44, 16)).astype(np.float32)
+    bg_color = np.full((H * W, 3), 0.7, np.float32)
+    eye = 0.25
+
+    out, _ = jax.jit(
+        lambda p, s: render_rays(
+            p, cfg, rc, s, jnp.asarray(rays["rays_o"]),
+            jnp.asarray(rays["rays_d"]), jnp.asarray(auds),
+            jnp.asarray(bg_coords), jnp.asarray(pose6),
+            jnp.asarray([[eye]], jnp.float32), jnp.zeros((), jnp.int32),
+            jnp.asarray(bg_color), training=False,
+        ),
+        static_argnames=(),
+    )(params, state)
+    # nothing may be capacity-dropped, or the comparison measures drops
+    cap = RenderConfig.sample_capacity(
+        RenderConfig.ray_capacity(H * W, 1.0), rc.sample_capacity_mult)
+    assert int(out["n_samples_needed"]) <= cap
+
+    # the audio encoder is parity-tested separately (torch-conv
+    # equivalence); the frame oracle consumes its output as given
+    enc_a = np.asarray(encode_audio(params, cfg, jnp.asarray(auds)))
+    ref_img, ref_ws = ref_render_frame(
+        params={k: np.asarray(v) if not isinstance(v, dict) else v
+                for k, v in params.items()},
+        net_cfg=cfg,
+        rays_o=np.asarray(rays["rays_o"]), rays_d=np.asarray(rays["rays_d"]),
+        bg_coords=bg_coords, pose6=pose6, enc_a=enc_a, eye=eye,
+        bg_color=bg_color,
+        bitfield=np.asarray(state.density_bitfield),
+        density_grid_torso=np.asarray(torso_grid),
+        mean_density_torso=0.05,
+        bound=1.0, min_near=rc.min_near, grid_size=32, cascade=1,
+        max_steps=8, dt_gamma=0.0, T_thresh=rc.T_thresh,
+        density_thresh_torso=rc.density_thresh_torso, torso=True,
+    )
+
+    img = np.asarray(out["image"], np.float64)
+    assert ref_ws.max() > 0.05, "oracle head is invisible — scene broken"
+    mse = float(np.mean((img - ref_img) ** 2))
+    psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+    print(f"\n[frame-parity] PSNR vs reference-semantics render: "
+          f"{psnr:.2f} dB (max|dI| {np.abs(img - ref_img).max():.2e})")
+    assert psnr >= 40.0, f"frame PSNR {psnr:.2f} dB vs reference semantics"
+
+
 def test_golden_frame_anchor(tmp_path):
     """Fixed-pose full-frame golden render: a deterministic head+torso frame
     from an imported torch checkpoint. Anchors the END-TO-END numeric

@@ -787,6 +787,73 @@ def test_checkpoint_persists_render_capacities(data_dir, tmp_path):
     assert tr4.render_cfg.sample_capacity_mult == 18.0
 
 
+def test_cap_overrides_by_provenance(data_dir, tmp_path):
+    """The capacity-restore opt-out is PROVENANCE-based: only capacity
+    fields the user explicitly set (CLI flags recorded in
+    Options.cap_overrides by main.py, or Trainer(cap_overrides=...)) win
+    over a checkpoint's trained capacities. A constructor-supplied custom
+    RenderConfig alone is a starting config, NOT an override — the round-4
+    diff-against-dataclass-defaults heuristic silently skipped restoring
+    trained capacities for every custom config (red at round-4 HEAD)."""
+    import dataclasses
+
+    ws = str(tmp_path / "ws_o")
+    opt = _opts(data_dir, ws)
+    rc = RenderConfig(torso=False, exp_eye=True, **TINY_RC)
+    tr = Trainer("ngp", opt, render_cfg=rc, workspace=ws,
+                 use_tensorboard=False, mute=True, use_checkpoint="scratch")
+    tr.render_cfg = dataclasses.replace(
+        tr.render_cfg, sample_capacity_mult=18.0, march_iters=80)
+    tr.epoch = 1
+    tr.save_checkpoint(full=True)
+
+    # explicit constructor override: that field keeps the constructor value,
+    # every other capacity still restores from checkpoint meta
+    rc2 = dataclasses.replace(rc, sample_capacity_mult=6.0)
+    tr2 = Trainer("ngp", opt, render_cfg=rc2, workspace=ws,
+                  use_tensorboard=False, mute=True, use_checkpoint="latest",
+                  cap_overrides=("sample_capacity_mult",))
+    assert tr2.render_cfg.sample_capacity_mult == 6.0  # override wins
+    assert tr2.render_cfg.march_iters == 80  # non-overridden field restores
+
+    # CLI provenance path: Options.cap_overrides (as main.options_from_args
+    # records for flags actually typed) has the same effect
+    opt3 = _opts(data_dir, ws)
+    opt3.cap_overrides = ("sample_capacity_mult",)
+    tr3 = Trainer("ngp", opt3, render_cfg=rc2, workspace=ws,
+                  use_tensorboard=False, mute=True, use_checkpoint="latest")
+    assert tr3.render_cfg.sample_capacity_mult == 6.0
+    assert tr3.render_cfg.march_iters == 80
+
+    # typos in override names fail loudly, not silently
+    with pytest.raises(ValueError):
+        Trainer("ngp", opt, render_cfg=rc, workspace=ws,
+                use_tensorboard=False, mute=True, use_checkpoint="scratch",
+                cap_overrides=("sample_capacity_multt",))
+
+
+def test_cli_records_cap_override_provenance():
+    """main.py records which capacity flags were actually typed: unset
+    flags keep dataclass defaults and restore freely; typed flags land in
+    Options.cap_overrides and survive checkpoint capacity restore."""
+    import main as main_cli
+
+    args = main_cli.build_parser().parse_args(["data/x"])
+    opt = main_cli.options_from_args(args)
+    assert opt.cap_overrides == ()
+    assert opt.sample_capacity_mult == 4.0  # dataclass default preserved
+
+    args = main_cli.build_parser().parse_args(
+        ["data/x", "--sample_capacity_mult", "16", "--ray_capacity_frac",
+         "1.0"])
+    opt = main_cli.options_from_args(args)
+    assert set(opt.cap_overrides) == {"sample_capacity_mult",
+                                      "ray_capacity_frac"}
+    assert opt.sample_capacity_mult == 16.0
+    assert opt.ray_capacity_frac == 1.0
+    assert RenderConfig.from_options(opt).ray_capacity_frac == 1.0
+
+
 def test_lpips_weights_file(tmp_path):
     """LPIPS.load_weights_file imports official-format calibration weights
     (torchvision alexnet `features.*` convs + lpips `lin*` heads) from a
