@@ -322,20 +322,23 @@ def run_recipe(root: str, workspace: str, iters: int, torso_iters: int = 0,
     if torso_iters > 0:
         head_ckpt = os.path.join(workspace, "checkpoints", "ngp.npz")
         cmd = base + ["--workspace", workspace + "_torso", "--torso",
-                      "--head_ckpt", head_ckpt, "--iters", str(torso_iters)]
+                      "--head_ckpt", head_ckpt,
+                      "--iters", str(torso_iters)] + list(extra)
         print("[harness] $", " ".join(cmd))
         subprocess.run(cmd, check=True, env=env,
                        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def evaluate(root: str, workspace: str, torso: bool = False):
+def evaluate(root: str, workspace: str, torso: bool = False,
+             grid=(16, 2)):
     """PSNR/LPIPS on the val split + audio-sensitivity check."""
     from radnerf_tpu.config import Options
     from radnerf_tpu.data import TalkingHeadDataset
     from radnerf_tpu.data.rays import get_audio_features
     from radnerf_tpu.train import LPIPSMeter, PSNRMeter, Trainer
 
-    opt = Options(path=root, workspace=workspace, torso=torso)
+    opt = Options(path=root, workspace=workspace, torso=torso,
+                  grid_levels=grid[0], grid_ch=grid[1])
     opt.apply_O()
     ws = workspace + "_torso" if torso else workspace
     opt.workspace = ws
@@ -424,6 +427,10 @@ def main():
     ap.add_argument("--H", type=int, default=256)
     ap.add_argument("--n-train", type=int, default=48)
     ap.add_argument("--n-val", type=int, default=8)
+    ap.add_argument("--grid", default="16x2",
+                    help="grid shape LxC for all three encoders (16x2 "
+                         "reference-faithful, 8x4 TPU fast grid); threaded "
+                         "through training and evaluation")
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--skip-data", action="store_true")
     ap.add_argument("--artifacts", default="",
@@ -435,19 +442,23 @@ def main():
         print(f"[harness] building synthetic dataset at {args.root} ...")
         make_dataset(args.root, n_train=args.n_train, n_val=args.n_val,
                      H=args.H, W=args.H)
+    grid = tuple(int(v) for v in args.grid.split("x"))
+    grid_extra = (("--grid_levels", str(grid[0]), "--grid_ch", str(grid[1]))
+                  if grid != (16, 2) else ())
     if not args.skip_train:
         run_recipe(args.root, args.workspace, args.iters,
                    torso_iters=args.torso_iters, lips_iters=args.lips_iters,
-                   num_rays=args.num_rays)
+                   num_rays=args.num_rays, extra=grid_extra)
 
     results = evaluate(args.root, args.workspace,
-                       torso=args.torso_iters > 0)
+                       torso=args.torso_iters > 0, grid=grid)
     import time as _time
 
     results["config"] = {
         "H": args.H, "n_train": args.n_train, "n_val": args.n_val,
         "iters": args.iters, "lips_iters": args.lips_iters,
         "torso_iters": args.torso_iters, "num_rays": args.num_rays,
+        "grid": args.grid,
         "date": _time.strftime("%Y-%m-%d %H:%M:%S"),
         "backend": __import__("jax").default_backend(),
     }

@@ -832,6 +832,34 @@ def test_cap_overrides_by_provenance(data_dir, tmp_path):
                 cap_overrides=("sample_capacity_multt",))
 
 
+def test_grid_shape_checkpoint_identity(data_dir, tmp_path):
+    """The grid shape (grid_levels x grid_ch) is part of the model identity:
+    training at the TPU fast shape (8x4) works end to end, checkpoints embed
+    the shape, and restoring into a differently-shaped trainer fails LOUDLY
+    instead of merging mismatched embedding tables."""
+    ws = str(tmp_path / "ws_g")
+    opt = _opts(data_dir, ws)
+    opt.grid_levels, opt.grid_ch = 8, 4
+    tr = Trainer("ngp", opt, workspace=ws, use_tensorboard=False, mute=True,
+                 use_checkpoint="scratch")
+    assert tr.net_cfg.grid_spec.output_dim == 32  # same feature width
+    out = tr.train_gui(TalkingHeadDataset(opt, split="train"), step=1)
+    assert np.isfinite(out["loss"])
+    tr.epoch = 1
+    tr.save_checkpoint(full=False)
+
+    # same-shape restore works
+    tr2 = Trainer("ngp", opt, workspace=ws, use_tensorboard=False, mute=True,
+                  use_checkpoint="latest")
+    assert tr2.epoch == 1
+
+    # wrong-shape restore is a hard error naming the fix
+    opt16 = _opts(data_dir, ws)
+    with pytest.raises(ValueError, match="grid shape"):
+        Trainer("ngp", opt16, workspace=ws, use_tensorboard=False, mute=True,
+                use_checkpoint="latest")
+
+
 def test_cli_records_cap_override_provenance():
     """main.py records which capacity flags were actually typed: unset
     flags keep dataclass defaults and restore freely; typed flags land in
