@@ -117,6 +117,9 @@ def build_parser():
                    help="multiresolution grid levels (reference: 16)")
     p.add_argument("--grid_ch", type=int, default=2,
                    help="feature channels per grid level (reference: 2)")
+    p.add_argument("--grid_base", type=int, default=16,
+                   help="coarsest grid resolution (reference: 16); raise "
+                        "to densify the level spectrum at low level counts")
     p.add_argument("--sample_capacity_mult", type=float, default=None,
                    help="field-eval buffer rows as a multiple of the "
                         "compacted ray count (default 4.0; adapted from "

@@ -129,6 +129,7 @@ class Options:
     # changing it starts a new model.
     grid_levels: int = 16
     grid_ch: int = 2
+    grid_base: int = 16  # coarsest grid resolution (see NetworkConfig)
     sample_capacity_mult: float = 4.0  # field-eval buffer = mult * num_rays
     march_iters: Optional[int] = None  # None -> safe bound from MarchConfig
     ray_capacity_frac: float = 1.0  # occupied-bbox ray compaction capacity

@@ -133,6 +133,11 @@ class NetworkConfig:
     # default.
     grid_levels: int = 16
     grid_ch: int = 2
+    # coarsest grid resolution (reference: 16). With few levels the
+    # geometric level spacing gets sparse (8 levels from 16 -> 2048 is
+    # per-level-scale 2.0); raising the base densifies the mid/high
+    # spectrum where the detail lives (32 -> 2048 over 8 levels = 1.81).
+    grid_base: int = 16
 
     @staticmethod
     def from_options(opt) -> "NetworkConfig":
@@ -152,13 +157,14 @@ class NetworkConfig:
             compute_dtype="bfloat16" if opt.fp16 else "float32",
             grid_levels=getattr(opt, "grid_levels", 16),
             grid_ch=getattr(opt, "grid_ch", 2),
+            grid_base=getattr(opt, "grid_base", 16),
         )
 
     @property
     def grid_spec(self) -> GridSpec:
         return GridSpec.create(
             input_dim=3, num_levels=self.grid_levels, level_dim=self.grid_ch,
-            base_resolution=16, log2_hashmap_size=16,
+            base_resolution=self.grid_base, log2_hashmap_size=16,
             desired_resolution=2048 * self.bound,
             gridtype="tiled", interpolation="linear",
         )
@@ -167,8 +173,8 @@ class NetworkConfig:
     def ambient_spec(self) -> GridSpec:
         return GridSpec.create(
             input_dim=self.ambient_dim, num_levels=self.grid_levels,
-            level_dim=self.grid_ch, base_resolution=16, log2_hashmap_size=16,
-            desired_resolution=2048,
+            level_dim=self.grid_ch, base_resolution=self.grid_base,
+            log2_hashmap_size=16, desired_resolution=2048,
             gridtype="tiled", interpolation="linear",
         )
 
@@ -176,7 +182,8 @@ class NetworkConfig:
     def torso_spec(self) -> GridSpec:
         return GridSpec.create(
             input_dim=2, num_levels=self.grid_levels, level_dim=self.grid_ch,
-            base_resolution=16, log2_hashmap_size=16, desired_resolution=2048,
+            base_resolution=self.grid_base, log2_hashmap_size=16,
+            desired_resolution=2048,
             gridtype="tiled", interpolation="linear",
         )
 

@@ -925,8 +925,11 @@ class Trainer:
             },
             # grid shape is part of the model identity: a restore into a
             # differently-shaped NetworkConfig must fail loudly, not merge
-            # mismatched embedding tables (load_checkpoint checks this)
-            "grid_shape": [self.net_cfg.grid_levels, self.net_cfg.grid_ch],
+            # mismatched embedding tables (load_checkpoint checks this).
+            # Third element (coarsest resolution, --grid_base) added round 5;
+            # 2-element checkpoints imply the reference base of 16.
+            "grid_shape": [self.net_cfg.grid_levels, self.net_cfg.grid_ch,
+                           self.net_cfg.grid_base],
         }
         if not best:
             path = os.path.join(self.ckpt_path, f"{name}.npz")
@@ -961,26 +964,36 @@ class Trainer:
             return
         params, state, ema, opt_flat, meta = ckpt_lib.load_checkpoint(path)
         saved_shape = meta.get("grid_shape")
-        cur_shape = [self.net_cfg.grid_levels, self.net_cfg.grid_ch]
-        if saved_shape is not None and list(saved_shape) != cur_shape:
-            raise ValueError(
-                f"checkpoint {path} was trained with grid shape "
-                f"{saved_shape[0]} levels x {saved_shape[1]} ch but this "
-                f"trainer is configured for {cur_shape[0]}x{cur_shape[1]} — "
-                f"pass --grid_levels {saved_shape[0]} --grid_ch "
-                f"{saved_shape[1]} (the grid shape is part of the model)"
-            )
-        if (saved_shape is None and params is not None
+        cur_shape = [self.net_cfg.grid_levels, self.net_cfg.grid_ch,
+                     self.net_cfg.grid_base]
+        if saved_shape is not None:
+            saved = list(int(v) for v in saved_shape)
+            # pre-grid_base (2-element) checkpoints carry no base record:
+            # compare levels x ch only; a base mismatch still fails loudly
+            # below via the encoder-table-shape check.
+            if saved[:2] != cur_shape[:2] or saved[2:] != cur_shape[2:len(saved)]:
+                raise ValueError(
+                    f"checkpoint {path} was trained with grid shape "
+                    f"{'x'.join(str(v) for v in saved)} (levels x ch"
+                    f"{' x base' if len(saved) > 2 else ''}) but this "
+                    f"trainer is configured for "
+                    f"{cur_shape[0]}x{cur_shape[1]} (base {cur_shape[2]}) — "
+                    f"pass --grid_levels {saved[0]} --grid_ch {saved[1]}"
+                    + (f" --grid_base {saved[2]}" if len(saved) > 2 else "")
+                    + " (the grid shape is part of the model)"
+                )
+        if (params is not None
                 and "encoder" in params
                 and np.shape(params["encoder"])
                 != tuple(self.params["encoder"].shape)):
-            # pre-grid_shape checkpoints: catch the same mismatch by table
+            # backstop for checkpoints whose meta predates grid_shape (or
+            # predates its grid_base element): catch the mismatch by table
             # shape rather than silently merging mismatched embeddings
             raise ValueError(
                 f"checkpoint {path} encoder table {np.shape(params['encoder'])} "
                 f"does not match the configured grid "
                 f"({tuple(self.params['encoder'].shape)}) — grid_levels/"
-                f"grid_ch must match the checkpoint's"
+                f"grid_ch/grid_base must match the checkpoint's"
             )
         cap = meta.get("render_cfg")
         # model_only loads (freeze_loaded_head, 'latest_model') adopt the

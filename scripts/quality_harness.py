@@ -330,7 +330,7 @@ def run_recipe(root: str, workspace: str, iters: int, torso_iters: int = 0,
 
 
 def evaluate(root: str, workspace: str, torso: bool = False,
-             grid=(16, 2)):
+             grid=(16, 2), grid_base: int = 16):
     """PSNR/LPIPS on the val split + audio-sensitivity check."""
     from radnerf_tpu.config import Options
     from radnerf_tpu.data import TalkingHeadDataset
@@ -338,7 +338,7 @@ def evaluate(root: str, workspace: str, torso: bool = False,
     from radnerf_tpu.train import LPIPSMeter, PSNRMeter, Trainer
 
     opt = Options(path=root, workspace=workspace, torso=torso,
-                  grid_levels=grid[0], grid_ch=grid[1])
+                  grid_levels=grid[0], grid_ch=grid[1], grid_base=grid_base)
     opt.apply_O()
     ws = workspace + "_torso" if torso else workspace
     opt.workspace = ws
@@ -431,6 +431,8 @@ def main():
                     help="grid shape LxC for all three encoders (16x2 "
                          "reference-faithful, 8x4 TPU fast grid); threaded "
                          "through training and evaluation")
+    ap.add_argument("--grid-base", type=int, default=16,
+                    help="coarsest grid resolution (main.py --grid_base)")
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--skip-data", action="store_true")
     ap.add_argument("--artifacts", default="",
@@ -445,13 +447,16 @@ def main():
     grid = tuple(int(v) for v in args.grid.split("x"))
     grid_extra = (("--grid_levels", str(grid[0]), "--grid_ch", str(grid[1]))
                   if grid != (16, 2) else ())
+    if args.grid_base != 16:
+        grid_extra = tuple(grid_extra) + ("--grid_base", str(args.grid_base))
     if not args.skip_train:
         run_recipe(args.root, args.workspace, args.iters,
                    torso_iters=args.torso_iters, lips_iters=args.lips_iters,
                    num_rays=args.num_rays, extra=grid_extra)
 
     results = evaluate(args.root, args.workspace,
-                       torso=args.torso_iters > 0, grid=grid)
+                       torso=args.torso_iters > 0, grid=grid,
+                       grid_base=args.grid_base)
     import time as _time
 
     results["config"] = {
@@ -459,6 +464,7 @@ def main():
         "iters": args.iters, "lips_iters": args.lips_iters,
         "torso_iters": args.torso_iters, "num_rays": args.num_rays,
         "grid": args.grid,
+        "grid_base": args.grid_base,
         "date": _time.strftime("%Y-%m-%d %H:%M:%S"),
         "backend": __import__("jax").default_backend(),
     }

@@ -859,6 +859,21 @@ def test_grid_shape_checkpoint_identity(data_dir, tmp_path):
         Trainer("ngp", opt16, workspace=ws, use_tensorboard=False, mute=True,
                 use_checkpoint="latest")
 
+    # the coarsest resolution (--grid_base) is model identity too: same
+    # levels x ch at a different base has different table sizes and must
+    # also fail loudly (8 levels from base 32 densifies the level spectrum
+    # — per-level scale 1.81 vs 2.0 — the round-5 quality-recovery knob)
+    optb = _opts(data_dir, ws)
+    optb.grid_levels, optb.grid_ch, optb.grid_base = 8, 4, 32
+    from radnerf_tpu.models.network import NetworkConfig
+    spec32 = NetworkConfig.from_options(optb).grid_spec
+    assert spec32.output_dim == 32
+    assert spec32.base_resolution == 32  # base respected
+    assert spec32.per_level_scale < 2.0  # denser spectrum over 32->2048
+    with pytest.raises(ValueError, match="grid shape"):
+        Trainer("ngp", optb, workspace=ws, use_tensorboard=False, mute=True,
+                use_checkpoint="latest")
+
 
 def test_cli_records_cap_override_provenance():
     """main.py records which capacity flags were actually typed: unset
