@@ -120,6 +120,15 @@ def build_parser():
     p.add_argument("--grid_base", type=int, default=16,
                    help="coarsest grid resolution (reference: 16); raise "
                         "to densify the level spectrum at low level counts")
+    p.add_argument("--amb_grid_levels", type=int, default=None,
+                   help="2-D (ambient+torso) grid levels; default inherits "
+                        "--grid_levels. The ambient grid decodes a learned "
+                        "2-D coordinate and tolerates fewer levels than the "
+                        "quality-bearing spatial grid")
+    p.add_argument("--amb_grid_ch", type=int, default=None,
+                   help="2-D grid channels per level (default --grid_ch)")
+    p.add_argument("--amb_grid_base", type=int, default=None,
+                   help="2-D grid coarsest resolution (default --grid_base)")
     p.add_argument("--sample_capacity_mult", type=float, default=None,
                    help="field-eval buffer rows as a multiple of the "
                         "compacted ray count (default 4.0; adapted from "

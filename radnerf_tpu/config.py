@@ -130,6 +130,11 @@ class Options:
     grid_levels: int = 16
     grid_ch: int = 2
     grid_base: int = 16  # coarsest grid resolution (see NetworkConfig)
+    # asymmetric 2-D grid (ambient + torso encoders): None inherits the
+    # spatial shape above (see NetworkConfig.amb_grid_levels)
+    amb_grid_levels: Optional[int] = None
+    amb_grid_ch: Optional[int] = None
+    amb_grid_base: Optional[int] = None
     sample_capacity_mult: float = 4.0  # field-eval buffer = mult * num_rays
     march_iters: Optional[int] = None  # None -> safe bound from MarchConfig
     ray_capacity_frac: float = 1.0  # occupied-bbox ray compaction capacity

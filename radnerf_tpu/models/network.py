@@ -138,6 +138,27 @@ class NetworkConfig:
     # per-level-scale 2.0); raising the base densifies the mid/high
     # spectrum where the detail lives (32 -> 2048 over 8 levels = 1.81).
     grid_base: int = 16
+    # Asymmetric override for the 2-D grids (ambient + torso encoders):
+    # None inherits the spatial grid's shape. The spatial 3-D grid carries
+    # the head geometry/texture (quality-bearing), while the ambient grid
+    # only decodes a learned 2-D coordinate — it tolerates fewer levels, so
+    # e.g. amb 8x4/base 32 cuts 8 of the 32 encoder gather rows per sample
+    # without touching the spatial capacity (PERFORMANCE.md round-5).
+    amb_grid_levels: Optional[int] = None
+    amb_grid_ch: Optional[int] = None
+    amb_grid_base: Optional[int] = None
+
+    @property
+    def amb_levels(self) -> int:
+        return self.amb_grid_levels or self.grid_levels
+
+    @property
+    def amb_ch(self) -> int:
+        return self.amb_grid_ch or self.grid_ch
+
+    @property
+    def amb_base(self) -> int:
+        return self.amb_grid_base or self.grid_base
 
     @staticmethod
     def from_options(opt) -> "NetworkConfig":
@@ -158,6 +179,9 @@ class NetworkConfig:
             grid_levels=getattr(opt, "grid_levels", 16),
             grid_ch=getattr(opt, "grid_ch", 2),
             grid_base=getattr(opt, "grid_base", 16),
+            amb_grid_levels=getattr(opt, "amb_grid_levels", None),
+            amb_grid_ch=getattr(opt, "amb_grid_ch", None),
+            amb_grid_base=getattr(opt, "amb_grid_base", None),
         )
 
     @property
@@ -172,8 +196,8 @@ class NetworkConfig:
     @property
     def ambient_spec(self) -> GridSpec:
         return GridSpec.create(
-            input_dim=self.ambient_dim, num_levels=self.grid_levels,
-            level_dim=self.grid_ch, base_resolution=self.grid_base,
+            input_dim=self.ambient_dim, num_levels=self.amb_levels,
+            level_dim=self.amb_ch, base_resolution=self.amb_base,
             log2_hashmap_size=16, desired_resolution=2048,
             gridtype="tiled", interpolation="linear",
         )
@@ -181,8 +205,8 @@ class NetworkConfig:
     @property
     def torso_spec(self) -> GridSpec:
         return GridSpec.create(
-            input_dim=2, num_levels=self.grid_levels, level_dim=self.grid_ch,
-            base_resolution=self.grid_base, log2_hashmap_size=16,
+            input_dim=2, num_levels=self.amb_levels, level_dim=self.amb_ch,
+            base_resolution=self.amb_base, log2_hashmap_size=16,
             desired_resolution=2048,
             gridtype="tiled", interpolation="linear",
         )

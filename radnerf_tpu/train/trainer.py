@@ -898,6 +898,15 @@ class Trainer:
         return save_path
 
     # ---------------------------------------------------------- checkpoints
+    def _grid_shape_id(self, full=False):
+        """Model-identity grid record: [levels, ch, base] plus the 2-D
+        (ambient/torso) shape when it differs (``full=True`` always returns
+        all 6 elements, for comparisons)."""
+        c = self.net_cfg
+        spatial = [c.grid_levels, c.grid_ch, c.grid_base]
+        amb = [c.amb_levels, c.amb_ch, c.amb_base]
+        return spatial + amb if (full or amb != spatial) else spatial
+
     def save_checkpoint(self, name=None, full=False, best=False):
         name = name or f"{self.name}_ep{self.epoch:04d}"
         rc = self.render_cfg
@@ -927,9 +936,11 @@ class Trainer:
             # differently-shaped NetworkConfig must fail loudly, not merge
             # mismatched embedding tables (load_checkpoint checks this).
             # Third element (coarsest resolution, --grid_base) added round 5;
-            # 2-element checkpoints imply the reference base of 16.
-            "grid_shape": [self.net_cfg.grid_levels, self.net_cfg.grid_ch,
-                           self.net_cfg.grid_base],
+            # 2-element checkpoints imply the reference base of 16. Elements
+            # 4-6 (the asymmetric 2-D ambient/torso grid, --amb_grid_*) are
+            # written only when they differ from the spatial shape; shorter
+            # records imply a symmetric grid.
+            "grid_shape": self._grid_shape_id(),
         }
         if not best:
             path = os.path.join(self.ckpt_path, f"{name}.npz")
@@ -964,37 +975,50 @@ class Trainer:
             return
         params, state, ema, opt_flat, meta = ckpt_lib.load_checkpoint(path)
         saved_shape = meta.get("grid_shape")
-        cur_shape = [self.net_cfg.grid_levels, self.net_cfg.grid_ch,
-                     self.net_cfg.grid_base]
         if saved_shape is not None:
-            saved = list(int(v) for v in saved_shape)
-            # pre-grid_base (2-element) checkpoints carry no base record:
-            # compare levels x ch only; a base mismatch still fails loudly
-            # below via the encoder-table-shape check.
-            if saved[:2] != cur_shape[:2] or saved[2:] != cur_shape[2:len(saved)]:
+            saved = [int(v) for v in saved_shape]
+            # expand shorter historical records to the full 6-element form:
+            # 2-element (pre-grid_base) carries no base record — compare
+            # levels x ch only (None = unknown, base mismatches still fail
+            # via the table-shape backstop below); 3-element implies a
+            # symmetric 2-D grid (asymmetric shapes didn't exist yet).
+            if len(saved) == 2:
+                full = saved + [None] + saved + [None]
+            elif len(saved) == 3:
+                full = saved + saved
+            else:
+                full = saved
+            cur = self._grid_shape_id(full=True)
+            if any(s is not None and s != c for s, c in zip(full, cur)):
+                fix = (f"--grid_levels {full[0]} --grid_ch {full[1]}"
+                       + (f" --grid_base {full[2]}"
+                          if full[2] is not None else "")
+                       + (f" --amb_grid_levels {full[3]} --amb_grid_ch "
+                          f"{full[4]} --amb_grid_base {full[5]}"
+                          if full[3:] != full[:3] and full[3] is not None
+                          else ""))
                 raise ValueError(
                     f"checkpoint {path} was trained with grid shape "
-                    f"{'x'.join(str(v) for v in saved)} (levels x ch"
-                    f"{' x base' if len(saved) > 2 else ''}) but this "
-                    f"trainer is configured for "
-                    f"{cur_shape[0]}x{cur_shape[1]} (base {cur_shape[2]}) — "
-                    f"pass --grid_levels {saved[0]} --grid_ch {saved[1]}"
-                    + (f" --grid_base {saved[2]}" if len(saved) > 2 else "")
-                    + " (the grid shape is part of the model)"
+                    f"{'x'.join(str(v) for v in saved)} but this trainer is "
+                    f"configured for {'x'.join(str(v) for v in cur)} "
+                    f"(levels x ch x base [x 2-D levels x ch x base]) — "
+                    f"pass {fix} (the grid shape is part of the model)"
                 )
-        if (params is not None
-                and "encoder" in params
-                and np.shape(params["encoder"])
-                != tuple(self.params["encoder"].shape)):
-            # backstop for checkpoints whose meta predates grid_shape (or
-            # predates its grid_base element): catch the mismatch by table
-            # shape rather than silently merging mismatched embeddings
-            raise ValueError(
-                f"checkpoint {path} encoder table {np.shape(params['encoder'])} "
-                f"does not match the configured grid "
-                f"({tuple(self.params['encoder'].shape)}) — grid_levels/"
-                f"grid_ch/grid_base must match the checkpoint's"
-            )
+        for key, spec_params in (("encoder", self.params.get("encoder")),
+                                 ("encoder_ambient",
+                                  self.params.get("encoder_ambient"))):
+            if (params is not None and key in params
+                    and spec_params is not None
+                    and np.shape(params[key]) != tuple(spec_params.shape)):
+                # backstop for checkpoints whose meta predates grid_shape (or
+                # predates its grid_base/amb elements): catch the mismatch by
+                # table shape rather than silently merging mismatched tables
+                raise ValueError(
+                    f"checkpoint {path} {key} table {np.shape(params[key])} "
+                    f"does not match the configured grid "
+                    f"({tuple(spec_params.shape)}) — grid_levels/grid_ch/"
+                    f"grid_base (and amb_grid_*) must match the checkpoint's"
+                )
         cap = meta.get("render_cfg")
         # model_only loads (freeze_loaded_head, 'latest_model') adopt the
         # checkpoint's trained capacities only when this trainer has none of

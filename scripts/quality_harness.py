@@ -330,7 +330,8 @@ def run_recipe(root: str, workspace: str, iters: int, torso_iters: int = 0,
 
 
 def evaluate(root: str, workspace: str, torso: bool = False,
-             grid=(16, 2), grid_base: int = 16):
+             grid=(16, 2), grid_base: int = 16, amb_grid=None,
+             amb_grid_base=None):
     """PSNR/LPIPS on the val split + audio-sensitivity check."""
     from radnerf_tpu.config import Options
     from radnerf_tpu.data import TalkingHeadDataset
@@ -338,7 +339,10 @@ def evaluate(root: str, workspace: str, torso: bool = False,
     from radnerf_tpu.train import LPIPSMeter, PSNRMeter, Trainer
 
     opt = Options(path=root, workspace=workspace, torso=torso,
-                  grid_levels=grid[0], grid_ch=grid[1], grid_base=grid_base)
+                  grid_levels=grid[0], grid_ch=grid[1], grid_base=grid_base,
+                  amb_grid_levels=amb_grid[0] if amb_grid else None,
+                  amb_grid_ch=amb_grid[1] if amb_grid else None,
+                  amb_grid_base=amb_grid_base)
     opt.apply_O()
     ws = workspace + "_torso" if torso else workspace
     opt.workspace = ws
@@ -433,6 +437,13 @@ def main():
                          "through training and evaluation")
     ap.add_argument("--grid-base", type=int, default=16,
                     help="coarsest grid resolution (main.py --grid_base)")
+    ap.add_argument("--amb-grid", default="",
+                    help="asymmetric 2-D (ambient+torso) grid LxC "
+                         "(main.py --amb_grid_levels/--amb_grid_ch); empty "
+                         "inherits --grid")
+    ap.add_argument("--amb-grid-base", type=int, default=None,
+                    help="2-D grid coarsest resolution "
+                         "(main.py --amb_grid_base)")
     ap.add_argument("--skip-train", action="store_true")
     ap.add_argument("--skip-data", action="store_true")
     ap.add_argument("--artifacts", default="",
@@ -445,10 +456,19 @@ def main():
         make_dataset(args.root, n_train=args.n_train, n_val=args.n_val,
                      H=args.H, W=args.H)
     grid = tuple(int(v) for v in args.grid.split("x"))
+    amb_grid = (tuple(int(v) for v in args.amb_grid.split("x"))
+                if args.amb_grid else None)
     grid_extra = (("--grid_levels", str(grid[0]), "--grid_ch", str(grid[1]))
                   if grid != (16, 2) else ())
     if args.grid_base != 16:
         grid_extra = tuple(grid_extra) + ("--grid_base", str(args.grid_base))
+    if amb_grid:
+        grid_extra = tuple(grid_extra) + (
+            "--amb_grid_levels", str(amb_grid[0]),
+            "--amb_grid_ch", str(amb_grid[1]))
+    if args.amb_grid_base is not None:
+        grid_extra = tuple(grid_extra) + (
+            "--amb_grid_base", str(args.amb_grid_base))
     if not args.skip_train:
         run_recipe(args.root, args.workspace, args.iters,
                    torso_iters=args.torso_iters, lips_iters=args.lips_iters,
@@ -456,7 +476,8 @@ def main():
 
     results = evaluate(args.root, args.workspace,
                        torso=args.torso_iters > 0, grid=grid,
-                       grid_base=args.grid_base)
+                       grid_base=args.grid_base, amb_grid=amb_grid,
+                       amb_grid_base=args.amb_grid_base)
     import time as _time
 
     results["config"] = {
@@ -465,6 +486,8 @@ def main():
         "torso_iters": args.torso_iters, "num_rays": args.num_rays,
         "grid": args.grid,
         "grid_base": args.grid_base,
+        "amb_grid": args.amb_grid or None,
+        "amb_grid_base": args.amb_grid_base,
         "date": _time.strftime("%Y-%m-%d %H:%M:%S"),
         "backend": __import__("jax").default_backend(),
     }

@@ -875,6 +875,59 @@ def test_grid_shape_checkpoint_identity(data_dir, tmp_path):
                 use_checkpoint="latest")
 
 
+def test_asymmetric_amb_grid_checkpoint_identity(data_dir, tmp_path):
+    """The asymmetric 2-D grid (--amb_grid_*: ambient+torso encoders shaped
+    independently of the quality-bearing spatial grid) trains end to end, is
+    embedded in the checkpoint identity (6-element grid_shape), restores
+    into a matching trainer, and fails loudly on any mismatch."""
+    from radnerf_tpu.models.network import NetworkConfig
+
+    ws = str(tmp_path / "ws_amb")
+    opt = _opts(data_dir, ws)
+    opt.amb_grid_levels, opt.amb_grid_ch, opt.amb_grid_base = 8, 4, 32
+    cfg = NetworkConfig.from_options(opt)
+    # spatial grid untouched; 2-D grids take the override; feature width kept
+    assert cfg.grid_spec.num_levels == 16 and cfg.grid_spec.level_dim == 2
+    assert cfg.ambient_spec.num_levels == 8 and cfg.ambient_spec.level_dim == 4
+    assert cfg.ambient_spec.base_resolution == 32
+    assert cfg.torso_spec.num_levels == 8  # torso shares the 2-D shape
+    assert cfg.ambient_spec.output_dim == 32
+
+    tr = Trainer("ngp", opt, workspace=ws, use_tensorboard=False, mute=True,
+                 use_checkpoint="scratch")
+    out = tr.train_gui(TalkingHeadDataset(opt, split="train"), step=1)
+    assert np.isfinite(out["loss"])
+    tr.epoch = 1
+    tr.save_checkpoint(full=False)
+    assert tr._grid_shape_id() == [16, 2, 16, 8, 4, 32]
+
+    # same-shape restore works
+    tr2 = Trainer("ngp", opt, workspace=ws, use_tensorboard=False, mute=True,
+                  use_checkpoint="latest")
+    assert tr2.epoch == 1
+
+    # symmetric trainer must reject the asymmetric checkpoint, naming the fix
+    opt_sym = _opts(data_dir, ws)
+    with pytest.raises(ValueError, match="amb_grid_levels 8"):
+        Trainer("ngp", opt_sym, workspace=ws, use_tensorboard=False,
+                mute=True, use_checkpoint="latest")
+
+    # and a symmetric checkpoint must reject an asymmetric trainer (the
+    # 3-element record implies amb == spatial)
+    ws_sym = str(tmp_path / "ws_sym")
+    opt_s2 = _opts(data_dir, ws_sym)
+    tr3 = Trainer("ngp", opt_s2, workspace=ws_sym, use_tensorboard=False,
+                  mute=True, use_checkpoint="scratch")
+    assert tr3._grid_shape_id() == [16, 2, 16]  # compact symmetric record
+    tr3.epoch = 1
+    tr3.save_checkpoint(full=False)
+    opt_a2 = _opts(data_dir, ws_sym)
+    opt_a2.amb_grid_levels, opt_a2.amb_grid_ch = 8, 4
+    with pytest.raises(ValueError, match="grid shape"):
+        Trainer("ngp", opt_a2, workspace=ws_sym, use_tensorboard=False,
+                mute=True, use_checkpoint="latest")
+
+
 def test_cli_records_cap_override_provenance():
     """main.py records which capacity flags were actually typed: unset
     flags keep dataclass defaults and restore freely; typed flags land in
