@@ -39,6 +39,12 @@ def main():
     ap.add_argument("--workspace", default="/tmp/qh_ws")
     ap.add_argument("--root", default="/tmp/qh_data")
     ap.add_argument("--grid", default="8x4")
+    ap.add_argument("--amb-grid", default="",
+                    help="asymmetric 2-D (ambient+torso) grid LxC; must "
+                         "match the workspace's training config (empty "
+                         "inherits --grid)")
+    ap.add_argument("--amb-grid-base", type=int, default=None)
+    ap.add_argument("--grid-base", type=int, default=16)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--torso", action="store_true",
                     help="use the torso-stage workspace (_torso suffix)")
@@ -56,9 +62,15 @@ def main():
     from radnerf_tpu.train import Trainer
 
     grid = tuple(int(v) for v in args.grid.split("x"))
+    amb = (tuple(int(v) for v in args.amb_grid.split("x"))
+           if args.amb_grid else None)
     ws = args.workspace + ("_torso" if args.torso else "")
     opt = Options(path=args.root, workspace=ws, torso=args.torso,
-                  grid_levels=grid[0], grid_ch=grid[1])
+                  grid_levels=grid[0], grid_ch=grid[1],
+                  grid_base=args.grid_base,
+                  amb_grid_levels=amb[0] if amb else None,
+                  amb_grid_ch=amb[1] if amb else None,
+                  amb_grid_base=args.amb_grid_base)
     opt.apply_O()
     trainer = Trainer("ngp", opt, workspace=ws, use_checkpoint="best",
                       use_tensorboard=False, mute=True)

@@ -31,6 +31,17 @@ for stage in "${@:-bench profile quality}"; do
                --root /tmp/qh_data --workspace /tmp/qh_ws \
                --iters 3000 --lips-iters 500 --torso-iters 1500 \
                --artifacts artifacts/quality ;;
+    # round-5 stages
+    ambbench) run ambbench 3600 env RADNERF_AMB_GRID=8x4 python bench.py ;;
+    quality-amb) run quality_amb 14400 python scripts/quality_harness.py \
+               --root /tmp/qh_data --workspace /tmp/qh_ws_amb \
+               --iters 3000 --lips-iters 500 --torso-iters 1500 \
+               --amb-grid 8x4 ;;
+    streaming) run streaming 7200 python scripts/bench_streaming.py \
+               --out /tmp/streaming.json ;;
+    trained) run trained 3600 python scripts/bench_trained.py \
+               --workspace /tmp/qh_ws_amb --grid 16x2 --amb-grid 8x4 \
+               --torso ;;
     *) echo "unknown stage $s" ;;
   esac
  done

@@ -3,7 +3,8 @@
 The full harness (256^2, 3k+ iters, via the main.py CLI) runs on TPU via
 scripts/tpu_queue.sh and checks its PSNR/LPIPS evidence into
 artifacts/quality/ (quality_results.json + val PNGs; the 2026-08-18 run —
-PSNR 31.45 dB / LPIPS 0.00047 / 7.0x mouth-localized audio sensitivity —
+PSNR 31.45 dB / LPIPS 0.00047 (uncalibrated-jax backend) / 7.0x
+mouth-localized audio sensitivity —
 is summarized in README "Status"); this CI version runs the same dataset
 generator + training + metric path at tiny sizes on CPU and asserts the
 mechanics: the synthetic dataset is loadable in the reference format,
