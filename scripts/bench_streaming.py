@@ -39,6 +39,9 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _REPO)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(_REPO, ".jax_cache"))
+# cache-only HF lookups: in the hermetic environment the wav2vec2 attempt
+# otherwise burns minutes in network retries before the fake-CTC fallback
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
 
 if os.environ.get("RADNERF_PLATFORM"):
     import jax

@@ -136,13 +136,24 @@ def main():
     dt = time.perf_counter() - t0 - TUNNEL_S
     fps = args.n_frames / dt
 
+    # occupancy context: FPS on this renderer scales with occupied rows, so
+    # a trained field's number is only interpretable next to its occupancy
+    # (a 3k-iter harness field is far less pruned than a converged one)
+    occ_frac = float(jnp.mean(
+        (jnp.unpackbits(state.density_bitfield) > 0).astype(jnp.float32)))
     print(json.dumps({
         "metric": f"trained_field_fps_{H}x{H}"
                   + ("_head_torso" if args.torso else "_head"),
         "value": round(fps, 3),
         "unit": "frames/sec",
         "grid": args.grid,
+        "amb_grid": args.amb_grid or args.grid,
         "workspace": ws,
+        "occupied_cell_frac": round(occ_frac, 4),
+        "sized": {"ray_capacity_frac": rc.ray_capacity_frac,
+                  "sample_capacity_mult": rc.sample_capacity_mult,
+                  "march_iters": rc.march_iters,
+                  "sample_slots": rc.sample_slots},
         "vs_baseline": round(fps / 40.0, 4),
     }))
 
