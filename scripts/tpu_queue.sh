@@ -42,6 +42,17 @@ for stage in "${@:-bench profile quality}"; do
     trained) run trained 3600 python scripts/bench_trained.py \
                --workspace /tmp/qh_ws_amb --grid 16x2 --amb-grid 8x4 \
                --torso ;;
+    # longer-recipe (9k/500/3k iter) 16x2 workspace — converged-field FPS
+    trained16) run trained16 3600 python scripts/bench_trained.py \
+               --workspace /tmp/qh_ws16 --grid 16x2 --torso ;;
+    # the unmeasured fourth fast-grid variant: shrink ONLY the 3-D spatial
+    # grid (the measured quality loss lives in the ambient 2-D grid)
+    quality-sp8) run quality_sp8 14400 python scripts/quality_harness.py \
+               --root /tmp/qh_data --workspace /tmp/qh_ws_sp8 \
+               --iters 3000 --lips-iters 500 --torso-iters 1500 \
+               --grid 8x4 --amb-grid 16x2 ;;
+    sp8bench) run sp8bench 3600 env RADNERF_GRID=8x4 RADNERF_AMB_GRID=16x2 \
+               python bench.py ;;
     *) echo "unknown stage $s" ;;
   esac
  done

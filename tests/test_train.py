@@ -893,6 +893,18 @@ def test_asymmetric_amb_grid_checkpoint_identity(data_dir, tmp_path):
     assert cfg.torso_spec.num_levels == 8  # torso shares the 2-D shape
     assert cfg.ambient_spec.output_dim == 32
 
+    # the complementary asymmetry — fast 3-D spatial grid, reference-shape
+    # 2-D grids (spatial 8x4 + ambient 16x2) — shapes independently too
+    opt_sp = _opts(data_dir, str(tmp_path / "ws_sp8"))
+    opt_sp.grid_levels, opt_sp.grid_ch = 8, 4
+    opt_sp.amb_grid_levels, opt_sp.amb_grid_ch = 16, 2
+    cfg_sp = NetworkConfig.from_options(opt_sp)
+    assert cfg_sp.grid_spec.num_levels == 8 and cfg_sp.grid_spec.level_dim == 4
+    assert (cfg_sp.ambient_spec.num_levels == 16
+            and cfg_sp.ambient_spec.level_dim == 2)
+    assert cfg_sp.torso_spec.num_levels == 16
+    assert cfg_sp.grid_spec.output_dim == 32
+
     tr = Trainer("ngp", opt, workspace=ws, use_tensorboard=False, mute=True,
                  use_checkpoint="scratch")
     out = tr.train_gui(TalkingHeadDataset(opt, split="train"), step=1)
