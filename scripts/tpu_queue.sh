@@ -53,6 +53,16 @@ for stage in "${@:-bench profile quality}"; do
                --grid 8x4 --amb-grid 16x2 ;;
     sp8bench) run sp8bench 3600 env RADNERF_GRID=8x4 RADNERF_AMB_GRID=16x2 \
                python bench.py ;;
+    # contingency for a near-miss sp8 gate: densify the 8-level spatial
+    # spectrum with base 32 (per-level scale 1.81; identical 8+16 rows/
+    # sample so the sp8 FPS carries) — the same recovery bought +1.7 dB
+    # on the full-8x4 variant (PERFORMANCE.md round-5 table)
+    quality-sp8b32) run quality_sp8b32 14400 python scripts/quality_harness.py \
+               --root /tmp/qh_data --workspace /tmp/qh_ws_sp8b32 \
+               --iters 3000 --lips-iters 500 --torso-iters 1500 \
+               --grid 8x4 --grid-base 32 --amb-grid 16x2 ;;
+    sp8b32bench) run sp8b32bench 3600 env RADNERF_GRID=8x4 RADNERF_GRID_BASE=32 \
+               RADNERF_AMB_GRID=16x2 python bench.py ;;
     *) echo "unknown stage $s" ;;
   esac
  done
